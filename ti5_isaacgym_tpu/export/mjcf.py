@@ -1,0 +1,108 @@
+"""Model-spec -> MJCF generator.
+
+Two roles (mirroring the reference's dual-engine story):
+  * unit-test oracle: MuJoCo's recursive-Newton-Euler / CRB implementation
+    cross-validates our Featherstone ABA on random states (SURVEY.md §4 test
+    strategy — the reference's own integration test was a MuJoCo ``sim2sim``
+    transfer, reference ``README.md:31-36``);
+  * sim2sim deployment check: exported policies are replayed in MuJoCo
+    (``scripts/sim2sim.py``), recreating the reference's missing validator.
+
+The generated model uses primitive box collision geoms recovered from the
+spec's collision points, so it is fully standalone (no meshes needed).
+"""
+from __future__ import annotations
+
+import json
+from typing import Dict
+from xml.sax.saxutils import quoteattr
+
+import numpy as np
+
+
+def _fmt(v) -> str:
+    return " ".join(f"{float(x):.9g}" for x in np.atleast_1d(v))
+
+
+def spec_to_mjcf(
+    spec: Dict,
+    with_geoms: bool = True,
+    timestep: float = 0.001,
+    armature: float = 0.0,
+    limited: bool = True,
+) -> str:
+    bodies = spec["bodies"]
+    nb = len(bodies)
+    children = [[] for _ in range(nb)]
+    for i, b in enumerate(bodies):
+        if b["parent"] >= 0:
+            children[b["parent"]].append(i)
+
+    cps_by_body = [[] for _ in range(nb)]
+    for c in spec.get("collision_points", []):
+        cps_by_body[c["body"]].append(c["pos"])
+
+    lines = []
+
+    def geom_xml(i, indent):
+        if not with_geoms or not cps_by_body[i]:
+            return
+        pts = np.asarray(cps_by_body[i], dtype=float)
+        lo, hi = pts.min(0), pts.max(0)
+        half = np.maximum((hi - lo) / 2.0, 0.01)
+        center = (hi + lo) / 2.0
+        lines.append(
+            f'{indent}<geom type="box" size="{_fmt(half)}" pos="{_fmt(center)}" '
+            f'rgba="0.6 0.6 0.7 1"/>'
+        )
+
+    def body_xml(i, indent):
+        b = bodies[i]
+        j = b.get("joint")
+        pos = j["origin_pos"] if j else [0, 0, 0]
+        lines.append(f'{indent}<body name={quoteattr(b["name"])} pos="{_fmt(pos)}">')
+        if j:
+            # T1 joint frames are axis-aligned with the parent (origin_rot = I);
+            # a non-identity rot would need a quat attribute here.
+            R = np.asarray(j["origin_rot"])
+            if not np.allclose(R, np.eye(3), atol=1e-9):
+                raise NotImplementedError("rotated joint frames not emitted yet")
+            lines.append(
+                f'{indent}  <joint name={quoteattr(j["name"])} type="hinge" '
+                f'axis="{_fmt(j["axis"])}" pos="0 0 0" '
+                f'range="{j["lower"]:.9g} {j["upper"]:.9g}" '
+                f'armature="{armature:.9g}" damping="0" frictionloss="0" '
+                f'limited="{"true" if limited else "false"}"/>'
+            )
+        else:
+            lines.append(f'{indent}  <freejoint name="root"/>')
+        I = np.asarray(b["inertia"])
+        full = [I[0, 0], I[1, 1], I[2, 2], I[0, 1], I[0, 2], I[1, 2]]
+        lines.append(
+            f'{indent}  <inertial pos="{_fmt(b["com"])}" mass="{b["mass"]:.9g}" '
+            f'fullinertia="{_fmt(full)}"/>'
+        )
+        geom_xml(i, indent + "  ")
+        for c in children[i]:
+            body_xml(c, indent + "  ")
+        lines.append(f"{indent}</body>")
+
+    header = f"""<mujoco model={quoteattr(spec.get('name', 'robot'))}>
+  <option timestep="{timestep}" gravity="0 0 -9.81"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="50 50 1" friction="0.6 0.005 0.0001"/>
+"""
+    body_xml(0, "    ")
+    body = "\n".join(lines)
+    actuators = "\n".join(
+        f'    <motor joint={quoteattr(b["joint"]["name"])} '
+        f'ctrlrange="-{b["joint"]["effort"]:.9g} {b["joint"]["effort"]:.9g}" gear="1"/>'
+        for b in bodies
+        if b.get("joint")
+    )
+    return header + body + "\n  </worldbody>\n  <actuator>\n" + actuators + "\n  </actuator>\n</mujoco>\n"
+
+
+def spec_file_to_mjcf(path: str, **kw) -> str:
+    with open(path) as f:
+        return spec_to_mjcf(json.load(f), **kw)
