@@ -1,0 +1,90 @@
+import jax.numpy as jnp
+import numpy as np
+
+from ti5_isaacgym_tpu.physics.contact import sample_height, sample_height_min3, surface_normal
+from ti5_isaacgym_tpu.terrain import Terrain, TerrainCfg
+from ti5_isaacgym_tpu.terrain import generators as G
+
+
+def small_cfg(**kw):
+    base = dict(num_rows=4, num_cols=4, border_size=5.0)
+    base.update(kw)
+    return TerrainCfg(**base)
+
+
+def test_grid_dimensions_and_origins():
+    cfg = small_cfg()
+    t = Terrain(cfg, seed=0)
+    assert t.height_field_raw.shape == (4 * 80 + 100, 4 * 80 + 100)
+    assert t.env_origins.shape == (4, 4, 3)
+    # origins centered in each cell
+    np.testing.assert_allclose(t.env_origins[0, 0, :2], [4.0, 4.0])
+    np.testing.assert_allclose(t.env_origins[2, 1, :2], [20.0, 12.0])
+
+
+def test_t1_proportions_layout():
+    """t1 config: 50% flat, 30% rough flat, 10% slope up, 10% slope down —
+    column index selects type deterministically under curriculum."""
+    cfg = small_cfg(num_cols=10, num_rows=3)
+    t = Terrain(cfg, seed=0)
+    types = t.terrain_type_grid[1]  # any row
+    assert (types[:5] == 1).all(), types      # flat
+    assert (types[5:8] == 2).all(), types     # rough flat
+    assert types[8] == 3 and types[9] == 4    # slope up / down
+
+
+def test_heightfield_sampling_roundtrip():
+    cfg = small_cfg()
+    t = Terrain(cfg, seed=1)
+    hf = t.heightfield()
+    # the world origin of cell (i,j) maps back into the heightfield
+    for (i, j) in [(0, 0), (3, 2)]:
+        ox, oy, oz = t.env_origins[i, j]
+        h = float(sample_height(hf, jnp.array([ox, oy])))
+        assert h <= oz + 1e-4  # spawn z is the max of the center patch
+        assert abs(h - oz) < 0.2
+
+
+def test_flat_cells_are_flat():
+    cfg = small_cfg(num_cols=2, terrain_proportions=(1.0,))
+    t = Terrain(cfg, seed=0)
+    assert np.all(t.height_field_raw == 0)
+    hf = t.heightfield()
+    assert float(sample_height(hf, jnp.array([4.0, 4.0]))) == 0.0
+    n = surface_normal(hf, jnp.array([4.0, 4.0]))
+    np.testing.assert_allclose(np.asarray(n), [0, 0, 1], atol=1e-6)
+
+
+def test_slope_has_gradient_normal():
+    cfg = small_cfg(num_cols=1, num_rows=2, terrain_proportions=(0, 0, 0, 1.0))
+    t = Terrain(cfg, seed=0)
+    hf = t.heightfield()
+    # off-center on the pyramid, normal should deviate from vertical
+    ox, oy, _ = t.env_origins[1, 0]
+    n = np.asarray(surface_normal(hf, jnp.array([ox + 2.5, oy])))
+    assert n[2] < 1.0 and abs(n[0]) > 1e-3
+
+
+def test_min3_sample_is_conservative():
+    cfg = small_cfg(num_cols=1, num_rows=2, terrain_proportions=(0, 1.0))
+    t = Terrain(cfg, seed=2)
+    hf = t.heightfield()
+    pts = jnp.array([[4.0 + 0.37 * k, 4.0 + 0.21 * k] for k in range(8)])
+    h3 = sample_height_min3(hf, pts)
+    hb = sample_height(hf, pts)
+    assert np.all(np.asarray(h3) <= np.asarray(hb) + 1e-5)
+
+
+def test_generators_shapes():
+    t = G.SubTerrain(80, 80, 0.005, 0.1)
+    G.pyramid_stairs(t, 0.25, 0.1, platform_size=3.0)
+    assert t.height_field_raw.max() > 0
+    t2 = G.SubTerrain(80, 80, 0.005, 0.1)
+    G.wave(t2, 3, 0.3)
+    assert t2.height_field_raw.min() < 0 < t2.height_field_raw.max()
+    t3 = G.SubTerrain(80, 80, 0.005, 0.1)
+    G.pit(t3, depth=0.5, platform_size=3.0)
+    assert t3.height_field_raw.min() == -100
+    t4 = G.SubTerrain(80, 80, 0.005, 0.1)
+    G.discrete_obstacles(t4, 0.05, 1.0, 2.0, 20, platform_size=3.0)
+    assert t4.height_field_raw[40, 40] == 0  # platform preserved
