@@ -1,0 +1,915 @@
+"""T1 "DH stand" task environment — TPU-native, fully jitted.
+
+Behavioral re-implementation of the reference task (reference
+``humanoid/envs/t1/t1_dh_stand_env.py`` on top of
+``humanoid/envs/base/legged_robot.py``): omnidirectional walking + standing
+with gait-phase reference motion, actuator/sensor lag, heavy domain
+randomization, terrain & command curricula, and the 47-dim observation
+stacked 66 deep / 73-dim privileged observation stacked 3 deep.
+
+Design (SURVEY.md §7): one pure ``step`` over an :class:`EnvState` pytree —
+the 10-substep physics decimation is a ``lax.scan``, resets are ``where``
+masking, and every per-env random draw comes from one split PRNG key.  Call
+order inside a step mirrors the reference exactly (``legged_robot.py:387-506``):
+
+  substeps -> counters -> callback (phase/commands/events) -> termination ->
+  rewards -> masked reset -> observations -> last_* rollover
+
+so stale-by-one-step quantities (e.g. ``ref_dof_pos`` consumed by rewards,
+reference ``t1_dh_stand_env.py:371`` vs ``:583``) stay stale by exactly one
+step here too.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.t1_dh_stand import T1EnvCfg
+from ..physics import dynamics as dyn
+from ..physics import spatial as sp
+from ..physics.contact import ContactOpts, HeightField, flat_terrain, sample_height_min3
+from ..physics.engine import PhysicsState, SolverOpts, probe_contact_masses, substep
+from ..physics.model import RobotModel, load_t1
+from ..terrain.terrain import Terrain
+from . import legged
+from .types import EnvParams, EnvState
+
+
+class StepCtx(NamedTuple):
+    """Derived quantities shared by termination/rewards/observations."""
+
+    frames_pos: jnp.ndarray        # [N,nb,3]
+    frames_rot: jnp.ndarray        # [N,nb,3,3]
+    base_lin_vel: jnp.ndarray      # [N,3] base frame
+    base_ang_vel: jnp.ndarray      # [N,3] base frame
+    base_euler: jnp.ndarray        # [N,3]
+    projected_gravity: jnp.ndarray # [N,3]
+    root_vel_world: jnp.ndarray    # [N,6] lin+ang world
+    feet_pos: jnp.ndarray          # [N,2,3]
+    feet_euler: jnp.ndarray        # [N,2,3]
+    feet_angvel_xy: jnp.ndarray    # [N,2,2] (reference foot_slip reads
+                                   # rigid_state[...,10:12] = ang vel xy)
+    knee_xy: jnp.ndarray           # [N,2,2]
+    contact: jnp.ndarray           # [N,2] bool, fz > 5 N
+    stand_command: jnp.ndarray     # [N] bool
+
+
+class T1DHStandEnv:
+    """Vectorized T1 walking/standing task.
+
+    All methods are pure (state in, state out) and jit-safe; the instance
+    holds only trace-time constants.
+    """
+
+    def __init__(self, cfg: T1EnvCfg, model: Optional[RobotModel] = None,
+                 terrain: Optional[Terrain] = None, seed: int = 0):
+        self.cfg = cfg
+        self.model = model if model is not None else load_t1()
+        self.num_envs = cfg.env.num_envs
+        self.num_actions = cfg.env.num_actions
+        self.dt = cfg.control.decimation * cfg.sim.dt          # policy dt
+        self.max_episode_length_s = cfg.env.episode_length_s
+        self.max_episode_length = int(np.ceil(self.max_episode_length_s / self.dt))
+
+        # terrain
+        if cfg.terrain.mesh_type in ("heightfield", "trimesh"):
+            self.terrain = terrain if terrain is not None else Terrain(cfg.terrain, seed=seed)
+            self.heightfield = self.terrain.heightfield()
+            self.terrain_origins = self.terrain.origins_device()
+            self.custom_origins = True
+        else:
+            self.terrain = None
+            self.heightfield = flat_terrain()
+            self.terrain_origins = None
+            self.custom_origins = False
+
+        # statics
+        self.default_dof_pos = jnp.asarray(cfg.init_state.default_joint_angles, jnp.float32)
+        self.p_gains_nom = jnp.asarray(cfg.control.stiffness, jnp.float32)
+        self.d_gains_nom = jnp.asarray(cfg.control.damping, jnp.float32)
+        self.torque_limits = self.model.dof_effort * cfg.safety.torque_limit
+        self.dof_vel_limits = self.model.dof_velocity * cfg.safety.vel_limit
+        self.commands_scale = jnp.asarray(
+            [cfg.normalization.obs_scales.lin_vel,
+             cfg.normalization.obs_scales.lin_vel,
+             cfg.normalization.obs_scales.ang_vel], jnp.float32)
+        self.copts = ContactOpts(
+            kp=cfg.sim.contact_kp, kd=cfg.sim.contact_kd,
+            kt=cfg.sim.contact_kt, kdt=cfg.sim.contact_kdt,
+            max_depth=cfg.sim.max_depenetration_depth, dt=cfg.sim.dt)
+        self.sopts = SolverOpts(dt=cfg.sim.dt, gravity=cfg.sim.gravity,
+                                limit_kp=cfg.sim.joint_limit_kp,
+                                limit_kd=cfg.sim.joint_limit_kd)
+        # contact-point apparent masses probed at the nominal standing pose
+        nominal = dyn.nominal_params(self.model).replace(
+            armature=jnp.asarray([(a + b) / 2 for a, b in cfg.domain_rand.joint_armature_ranges],
+                                 jnp.float32))
+        probe_state = PhysicsState(
+            base_pos=jnp.asarray([0.0, 0.0, 0.95]),
+            base_quat=jnp.asarray([1.0, 0, 0, 0]),
+            base_vel=jnp.zeros(6), qpos=self.default_dof_pos,
+            qvel=jnp.zeros(self.num_actions),
+            cp_anchor=jnp.zeros((self.model.cp_pos.shape[0], 3)))
+        self.cp_meff = probe_contact_masses(self.model, nominal, probe_state)
+
+        # reward bank: active terms in config order (scale != 0), x dt
+        # (reference _prepare_reward_function, legged_robot.py:352-384)
+        self.reward_names = tuple(n for n, s in cfg.rewards.scales if s != 0)
+        self.reward_scales_dt = {n: s * self.dt for n, s in cfg.rewards.scales if s != 0}
+        self.n_rewards = len(self.reward_names)
+
+        # noise vector (reference t1_dh_stand_env.py:326-357)
+        ns, os_ = cfg.noise.noise_scales, cfg.normalization.obs_scales
+        nv = np.zeros(cfg.env.num_single_obs, np.float32)
+        nc, na = cfg.env.num_commands, self.num_actions
+        nv[nc:nc + na] = ns.dof_pos * os_.dof_pos
+        nv[nc + na:nc + 2 * na] = ns.dof_vel * os_.dof_vel
+        nv[nc + 3 * na:nc + 3 * na + 3] = ns.ang_vel * os_.ang_vel
+        nv[nc + 3 * na + 3:nc + 3 * na + 6] = ns.quat * os_.quat
+        self.noise_scale_vec = jnp.asarray(nv)
+
+        # event scheduling constants
+        self.push_interval = int(np.ceil(cfg.domain_rand.push_interval_s / self.dt))
+        self.ext_force_interval = int(np.ceil(cfg.domain_rand.ext_force_interval_s / self.dt))
+
+        # height-scan grid (reference _init_height_points, surface parity)
+        gx, gy = np.meshgrid(np.asarray(cfg.terrain.measured_points_x),
+                             np.asarray(cfg.terrain.measured_points_y), indexing="ij")
+        self.height_points = jnp.asarray(
+            np.stack([gx.ravel(), gy.ravel(), np.zeros_like(gx).ravel()], -1), jnp.float32)
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+
+    def init_state(self, key: jnp.ndarray) -> EnvState:
+        cfg, n, na = self.cfg, self.num_envs, self.num_actions
+        nb, ncp = self.model.nb, self.model.cp_pos.shape[0]
+        ks = jax.random.split(key, 8)
+
+        dparams, friction, body_mass = legged.sample_rigid_body_params(cfg, self.model, ks[0], n)
+        p, d, offs, coul, visc, arm = legged.sample_dof_params(
+            cfg, ks[1], n, self.p_gains_nom, self.d_gains_nom)
+        lag, dof_lag, imu_lag = legged.sample_lag_steps(cfg, ks[2], n)
+        params = EnvParams(
+            dynamics=dparams.replace(armature=arm), friction=friction, body_mass=body_mass,
+            p_gains=p, d_gains=d, motor_offsets=offs, joint_coulomb=coul,
+            joint_viscous=visc, lag_steps=lag, dof_lag_steps=dof_lag, imu_lag_steps=imu_lag)
+
+        # terrain level/type assignment (reference _get_env_origins :1477-1494)
+        if self.custom_origins:
+            max_init = cfg.terrain.max_init_terrain_level if cfg.terrain.curriculum \
+                else cfg.terrain.num_rows - 1
+            level = jax.random.randint(ks[3], (n,), 0, max_init + 1)
+            ttype = (jnp.arange(n) // max(n / cfg.terrain.num_cols, 1)).astype(jnp.int32)
+            ttype = jnp.clip(ttype, 0, cfg.terrain.num_cols - 1)
+            origin = self.terrain_origins[level, ttype]
+        else:
+            level = jnp.zeros((n,), jnp.int32)
+            ttype = jnp.zeros((n,), jnp.int32)
+            ncols = int(np.floor(np.sqrt(n)))
+            xx, yy = jnp.meshgrid(jnp.arange((n + ncols - 1) // ncols), jnp.arange(ncols),
+                                  indexing="ij")
+            origin = jnp.stack([
+                cfg.env.env_spacing * xx.ravel()[:n],
+                cfg.env.env_spacing * yy.ravel()[:n],
+                jnp.zeros(n)], -1).astype(jnp.float32)
+
+        qpos = jnp.broadcast_to(self.default_dof_pos, (n, na))
+        base_pos = jnp.asarray(cfg.init_state.pos) + origin
+        phys = PhysicsState(
+            base_pos=base_pos,
+            base_quat=jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), (n, 4)),
+            base_vel=jnp.zeros((n, 6)), qpos=qpos, qvel=jnp.zeros((n, na)),
+            cp_anchor=jnp.zeros((n, ncp, 3)))
+
+        L = cfg.domain_rand.lag_timesteps_range[1] + 1
+        Ld = cfg.domain_rand.dof_lag_timesteps_range[1] + 1
+        Li = cfg.domain_rand.imu_lag_timesteps_range[1] + 1
+        state = EnvState(
+            phys=phys, params=params, rng=ks[4],
+            episode_length=jnp.zeros((n,), jnp.int32),
+            phase_length=jnp.zeros((n,), jnp.int32),
+            gait_start=jax.random.randint(ks[5], (n,), 0, 2).astype(jnp.float32) * 0.5,
+            gait_time=jnp.zeros((n, len(cfg.commands.gait)), jnp.int32),
+            commands=jnp.zeros((n, 4)),
+            common_step=jnp.zeros((), jnp.int32),
+            terrain_level=level, terrain_type=ttype, env_origin=origin,
+            cmd_vx_range=jnp.asarray(cfg.commands.ranges.lin_vel_x, jnp.float32),
+            actions=jnp.zeros((n, na)), last_actions=jnp.zeros((n, na)),
+            last_last_actions=jnp.zeros((n, na)), torques=jnp.zeros((n, na)),
+            last_dof_vel=jnp.zeros((n, na)), last_root_vel=jnp.zeros((n, 6)),
+            lag_buffer=jnp.zeros((n, na, L)),
+            dof_lag_buffer=jnp.zeros((n, 2 * na, Ld)),
+            imu_lag_buffer=jnp.zeros((n, 6, Li)),
+            contact_forces=jnp.zeros((n, nb, 3)),
+            feet_air_time=jnp.zeros((n, 2)),
+            last_contacts=jnp.zeros((n, 2), bool),
+            feet_height=jnp.zeros((n, 2)), last_feet_z=jnp.zeros((n, 2)),
+            ref_dof_pos=jnp.broadcast_to(self.default_dof_pos, (n, na)),
+            ref_action=jnp.zeros((n, na)),
+            push_force=jnp.zeros((n, 3)), push_torque=jnp.zeros((n, 3)),
+            ext_force=jnp.zeros((n, 3)), ext_torque=jnp.zeros((n, 3)),
+            ext_force_apply=jnp.zeros((n, 3)), ext_torque_apply=jnp.zeros((n, 3)),
+            is_first_push=jnp.asarray(True), is_first_add_force=jnp.asarray(True),
+            obs_hist=jnp.zeros((n, cfg.env.frame_stack, cfg.env.num_single_obs)),
+            critic_hist=jnp.zeros((n, cfg.env.c_frame_stack, cfg.env.single_num_privileged_obs)),
+            episode_sums=jnp.zeros((n, self.n_rewards)),
+            reset_buf=jnp.zeros((n,), bool), time_out_buf=jnp.zeros((n,), bool),
+        )
+        # gait schedule + initial commands
+        state = self._generate_gait_time(state, ks[6], jnp.ones((n,), bool))
+        state = self._resample_gait_commands(state, ks[7])
+        return state
+
+    def reset(self, state: EnvState):
+        """Reference contract: reset all envs, then one zero-action step
+        produces the first observations (``legged_robot.py:450-455``)."""
+        key, sub = jax.random.split(state.rng)
+        state = state.replace(rng=key)
+        state = self._reset_idx(state, jnp.ones((self.num_envs,), bool), sub, force_all=True)
+        state, obs, priv, _, _, _ = self.step(state, jnp.zeros((self.num_envs, self.num_actions)))
+        return state, obs, priv
+
+    # ------------------------------------------------------------------
+    # gait phase machinery (reference t1_dh_stand_env.py:80-124, 250-274)
+    # ------------------------------------------------------------------
+
+    def _stand_command(self, commands):
+        return jnp.linalg.norm(commands[:, :3], axis=-1) <= self.cfg.commands.stand_com_threshold
+
+    def _phase(self, state: EnvState, phase_length):
+        cyc = self.cfg.rewards.cycle_time
+        if self.cfg.commands.sw_switch:
+            stand = self._stand_command(state.commands)
+            phase = (jnp.mod(phase_length * self.dt / cyc, 1.0) + state.gait_start) * (~stand)
+        else:
+            phase = jnp.mod(state.episode_length * self.dt / cyc, 1.0) + state.gait_start
+        return phase
+
+    def _gait_stance_mask(self, phase):
+        sin_pos = jnp.sin(2 * jnp.pi * phase)
+        left = (sin_pos >= 0).astype(jnp.float32)
+        stance = jnp.stack([left, 1.0 - left], -1)
+        return jnp.where((jnp.abs(sin_pos) < 0.1)[:, None], 1.0, stance)
+
+    def _compute_ref_state(self, state: EnvState, phase):
+        scale_1 = self.cfg.rewards.target_joint_pos_scale
+        scale_2 = 2 * scale_1
+        sin_pos = jnp.sin(2 * jnp.pi * phase)
+        sin_l = jnp.minimum(sin_pos, 0.0)   # left swings when sin < 0
+        sin_r = jnp.maximum(sin_pos, 0.0)
+        n = sin_pos.shape[0]
+        ref = jnp.zeros((n, self.num_actions))
+        ref = ref.at[:, 2].set(sin_l * scale_1)
+        ref = ref.at[:, 3].set(-sin_l * scale_2)
+        ref = ref.at[:, 4].set(sin_l * scale_1)
+        ref = ref.at[:, 8].set(-sin_r * scale_1)
+        ref = ref.at[:, 9].set(sin_r * scale_2)
+        ref = ref.at[:, 10].set(-sin_r * scale_1)
+        ref = jnp.where((jnp.abs(sin_pos) < 0.1)[:, None], 0.0, ref)
+        ref_action = 2.0 * ref
+        ref_dof_pos = ref + self.default_dof_pos
+        return ref_dof_pos, ref_action
+
+    def _generate_gait_time(self, state: EnvState, key, mask):
+        """Random segmentation of the episode into gait phases
+        (reference ``generate_gait_time``: durations scaled to the episode,
+        shifted, cumsum -> boundary step indices)."""
+        cfg = self.cfg.commands
+        ngait = len(cfg.gait)
+        ranges = jnp.asarray(cfg.gait_time_range, jnp.float32)   # (ngait, 2)
+        r = jax.random.uniform(key, (self.num_envs, ngait),
+                               minval=ranges[:, 0], maxval=ranges[:, 1])
+        scaled = r * (self.max_episode_length / jnp.sum(r, axis=1, keepdims=True))
+        shifted = jnp.concatenate([jnp.zeros((self.num_envs, 1)), scaled[:, :-1]], axis=1)
+        gait_time = jnp.cumsum(shifted, axis=1).astype(jnp.int32)
+        return state.replace(gait_time=jnp.where(mask[:, None], gait_time, state.gait_time))
+
+    def _resample_gait_commands(self, state: EnvState, key) -> EnvState:
+        """At each segment boundary (episode_length == gait_time[:, i]),
+        resample per the segment's gait type (reference ``_resample_commands``
+        + the per-gait ``_resample_*_command`` family)."""
+        cfg = self.cfg.commands
+        cmds = state.commands
+        keys = jax.random.split(key, len(cfg.gait))
+        for i, name in enumerate(cfg.gait):
+            mask = state.episode_length == state.gait_time[:, i]
+            k1, k2, k3 = jax.random.split(keys[i], 3)
+            if name == "stand":
+                new = jnp.zeros((self.num_envs, 3))
+            elif name == "walk_sagittal":
+                vx = jax.random.uniform(k1, (self.num_envs,), minval=state.cmd_vx_range[0],
+                                        maxval=state.cmd_vx_range[1])
+                new = jnp.stack([vx, jnp.zeros(self.num_envs), jnp.zeros(self.num_envs)], -1)
+            elif name == "walk_lateral":
+                vy = jax.random.uniform(k2, (self.num_envs,), minval=cfg.ranges.lin_vel_y[0],
+                                        maxval=cfg.ranges.lin_vel_y[1])
+                new = jnp.stack([jnp.zeros(self.num_envs), vy, jnp.zeros(self.num_envs)], -1)
+            elif name == "rotate":
+                wz = jax.random.uniform(k3, (self.num_envs,), minval=cfg.ranges.ang_vel_yaw[0],
+                                        maxval=cfg.ranges.ang_vel_yaw[1])
+                new = jnp.stack([jnp.zeros(self.num_envs), jnp.zeros(self.num_envs), wz], -1)
+            else:  # walk_omnidirectional
+                vx = jax.random.uniform(k1, (self.num_envs,), minval=state.cmd_vx_range[0],
+                                        maxval=state.cmd_vx_range[1])
+                vy = jax.random.uniform(k2, (self.num_envs,),
+                                        minval=cfg.ranges.lin_vel_y[0],
+                                        maxval=cfg.ranges.lin_vel_y[1])
+                wz = jax.random.uniform(k3, (self.num_envs,),
+                                        minval=cfg.ranges.ang_vel_yaw[0],
+                                        maxval=cfg.ranges.ang_vel_yaw[1])
+                new = jnp.stack([vx, vy, wz], -1)
+            cmds = jnp.where(mask[:, None], cmds.at[:, :3].set(new), cmds)
+        return state.replace(commands=cmds)
+
+    # ------------------------------------------------------------------
+    # perturbation events (reference t1_dh_stand_env.py:179-247)
+    # ------------------------------------------------------------------
+
+    def _events(self, state: EnvState, key) -> EnvState:
+        dr = self.cfg.domain_rand
+        k_push1, k_push2, kf1, kf2, kf3, kt = jax.random.split(key, 6)
+        n = self.num_envs
+        if dr.push_robots:
+            i = jnp.minimum(state.common_step // dr.update_step, len(dr.push_duration) - 1)
+            duration = jnp.asarray(dr.push_duration)[i] / self.dt
+            window = (state.common_step % self.push_interval) <= duration
+            force = jax.random.uniform(k_push1, (n, 2), minval=-dr.max_push_vel_xy,
+                                       maxval=dr.max_push_vel_xy)
+            torque = jax.random.uniform(k_push2, (n, 3), minval=-dr.max_push_ang_vel,
+                                        maxval=dr.max_push_ang_vel)
+            # T1 variant never clears is_first_push inside the window, so the
+            # velocity targets are resampled and applied on every window step
+            push_force = jnp.where(window, state.push_force.at[:, :2].set(force), 0.0)
+            push_torque = jnp.where(window, torque, 0.0)
+            # velocity *set* (not impulse): overwrite world lin xy + ang vel
+            from ..physics.engine import root_world_vel, set_root_world_vel
+            linv, angv = root_world_vel(state.phys)
+            linv = jnp.where(window, linv.at[:, :2].set(push_force[:, :2]), linv)
+            angv = jnp.where(window, push_torque, angv)
+            phys = set_root_world_vel(state.phys, linv, angv)
+            state = state.replace(phys=phys, push_force=push_force, push_torque=push_torque,
+                                  is_first_push=~window)
+        if dr.add_ext_force:
+            i = jnp.minimum(state.common_step // dr.add_update_step, len(dr.add_duration) - 1)
+            duration = jnp.asarray(dr.add_duration)[i] / self.dt
+            window = (state.common_step % self.ext_force_interval) <= duration
+            fx = jax.random.uniform(kf1, (n, 1), minval=-dr.ext_force_max_x / 2,
+                                    maxval=dr.ext_force_max_x)
+            fy = jax.random.uniform(kf2, (n, 1), minval=-dr.ext_force_max_y,
+                                    maxval=dr.ext_force_max_y)
+            fz = jax.random.uniform(kf3, (n, 1), minval=-dr.ext_force_max_z,
+                                    maxval=dr.ext_force_max_z)
+            new_force = jnp.concatenate([fx, fy, fz], -1)
+            new_torque = jax.random.uniform(kt, (n, 3), minval=-dr.ext_torque_max,
+                                            maxval=dr.ext_torque_max)
+            sample_now = window & state.is_first_add_force
+            ext_force = jnp.where(window, jnp.where(sample_now, new_force, state.ext_force), 0.0)
+            ext_torque = jnp.where(window, jnp.where(sample_now, new_torque, state.ext_torque), 0.0)
+            # applied only from the second window step on, only to standing
+            # envs — and (Isaac Gym applied-force semantics) only for ONE
+            # simulation substep, the first of the next policy step
+            stand = self._stand_command(state.commands)[:, None]
+            apply_f = jnp.where(window & ~state.is_first_add_force, ext_force * stand, 0.0)
+            apply_t = jnp.where(window & ~state.is_first_add_force, ext_torque * stand, 0.0)
+            state = state.replace(ext_force=ext_force, ext_torque=ext_torque,
+                                  ext_force_apply=apply_f, ext_torque_apply=apply_t,
+                                  is_first_add_force=~window)
+        return state
+
+    # ------------------------------------------------------------------
+    # the step pipeline (reference legged_robot.py:387-506 + T1 overrides)
+    # ------------------------------------------------------------------
+
+    def step(self, state: EnvState, actions: jnp.ndarray):
+        cfg = self.cfg
+        clip_a = cfg.normalization.clip_actions
+        if cfg.env.use_ref_actions:
+            actions = actions + state.ref_action
+        actions = jnp.clip(actions, -clip_a, clip_a)
+        state = state.replace(actions=actions)
+
+        key, k_sub, k_post = jax.random.split(state.rng, 3)
+        state = state.replace(rng=key)
+
+        # --- decimation loop: 10 physics substeps @ 1 kHz under lax.scan ---
+        vsub = jax.vmap(
+            lambda ph, pr, tau, fr, bf, bt: substep(
+                self.model, pr, self.heightfield, self.copts, self.sopts,
+                ph, tau, fr, self.cp_meff, bf, bt))
+        dr = cfg.domain_rand
+
+        def sub_fn(carry, inp):
+            phys, lagb, dof_lagb, imu_lagb, torques = carry
+            idx, k = inp
+            torques, lagb = legged.compute_torques(
+                cfg, state.params, self.torque_limits, self.default_dof_pos,
+                lagb, actions, phys.qpos, phys.qvel, k)
+            # external wrench applies to the first substep only (Isaac Gym
+            # per-step applied-force semantics)
+            on = (idx == 0).astype(jnp.float32)
+            bf = state.ext_force_apply * on
+            bt = state.ext_torque_apply * on
+            phys, cforces = vsub(phys, state.params.dynamics, torques,
+                                 state.params.friction, bf, bt)
+            if dr.add_dof_lag:
+                dof_lagb = legged.push_ring(
+                    dof_lagb, jnp.concatenate([phys.qpos, phys.qvel], -1))
+            if dr.add_imu_lag:
+                euler = sp.quat_to_euler_xyz(phys.base_quat)
+                imu_lagb = legged.push_ring(
+                    imu_lagb, jnp.concatenate([phys.base_vel[:, :3], euler], -1))
+            return (phys, lagb, dof_lagb, imu_lagb, torques), cforces
+
+        sub_keys = jax.random.split(k_sub, cfg.control.decimation)
+        (phys, lagb, dof_lagb, imu_lagb, torques), cf_all = jax.lax.scan(
+            sub_fn,
+            (state.phys, state.lag_buffer, state.dof_lag_buffer,
+             state.imu_lag_buffer, state.torques),
+            (jnp.arange(cfg.control.decimation), sub_keys))
+        state = state.replace(
+            phys=phys, lag_buffer=lagb, dof_lag_buffer=dof_lagb,
+            imu_lag_buffer=imu_lagb, torques=torques,
+            contact_forces=cf_all[-1])
+
+        # --- post-physics ---
+        state, obs, priv_obs, rew, extras = self._post_physics_step(state, k_post)
+
+        clip_o = cfg.normalization.clip_observations
+        obs = jnp.clip(obs, -clip_o, clip_o)
+        priv_obs = jnp.clip(priv_obs, -clip_o, clip_o)
+        return state, obs, priv_obs, rew, state.reset_buf, extras
+
+    def _make_ctx(self, state: EnvState) -> StepCtx:
+        model = self.model
+        frames = jax.vmap(lambda ph: dyn.fk(model, ph.base_pos, ph.base_quat,
+                                            ph.base_vel, ph.qpos, ph.qvel))(state.phys)
+        lin_w, ang_w = jax.vmap(dyn.body_world_vel)(frames)
+        feet = list(model.feet_bodies)
+        knees = list(model.knee_bodies)
+        feet_rot = frames.rot[:, feet]                     # [N,2,3,3]
+        feet_quat = sp.mat_to_quat(feet_rot)
+        base_euler = sp.quat_to_euler_xyz(state.phys.base_quat)
+        grav = jnp.asarray([0.0, 0.0, -1.0])
+        proj_grav = sp.quat_rotate_inverse(state.phys.base_quat,
+                                           jnp.broadcast_to(grav, (self.num_envs, 3)))
+        return StepCtx(
+            frames_pos=frames.pos, frames_rot=frames.rot,
+            base_lin_vel=state.phys.base_vel[:, 3:],
+            base_ang_vel=state.phys.base_vel[:, :3],
+            base_euler=base_euler, projected_gravity=proj_grav,
+            root_vel_world=jnp.concatenate([lin_w[:, 0], ang_w[:, 0]], -1),
+            feet_pos=frames.pos[:, feet],
+            feet_euler=sp.quat_to_euler_xyz(feet_quat),
+            feet_angvel_xy=ang_w[:, feet][..., :2],
+            knee_xy=frames.pos[:, knees][..., :2],
+            contact=state.contact_forces[:, feet, 2] > 5.0,
+            stand_command=self._stand_command(state.commands),
+        )
+
+    def _post_physics_step(self, state: EnvState, key):
+        cfg = self.cfg
+        k_ev, k_reset, k_obs, k_cmd = jax.random.split(key, 4)
+
+        state = state.replace(
+            episode_length=state.episode_length + 1,
+            common_step=state.common_step + 1,
+        )
+
+        # T1 callback: phase counter, gait-time command resampling, events
+        # (reference t1_dh_stand_env.py:179-215)
+        phase_length = state.phase_length + 1
+        if cfg.commands.sw_switch:
+            stand = self._stand_command(state.commands)
+            phase_length = jnp.where(stand, 0, phase_length)
+        state = state.replace(phase_length=phase_length)
+        state = self._resample_gait_commands(state, k_cmd)
+        state = self._events(state, k_ev)
+
+        ctx = self._make_ctx(state)
+
+        # termination (reference legged_robot.py:509-517)
+        term = list(self.model.termination_bodies)
+        contact_term = jnp.any(
+            jnp.linalg.norm(state.contact_forces[:, term], axis=-1) > 1.0, axis=-1)
+        time_out = state.episode_length > self.max_episode_length
+        reset_buf = contact_term | time_out
+        state = state.replace(reset_buf=reset_buf, time_out_buf=time_out)
+
+        # rewards on the pre-reset state
+        state, rew = self._compute_rewards(state, ctx)
+
+        # extras (episode logging) BEFORE sums are zeroed by the reset
+        extras = self._build_extras(state, reset_buf)
+
+        # masked reset
+        state = self._reset_idx(state, reset_buf, k_reset)
+
+        # observations on the post-reset state
+        state, obs, priv_obs = self._compute_observations(state, k_obs)
+
+        # last_* rollover (reference legged_robot.py:496-502)
+        ctx_post = None  # ctx recomputation folded into _compute_observations
+        state = state.replace(
+            last_last_actions=state.last_actions,
+            last_actions=state.actions,
+            last_dof_vel=jnp.where(reset_buf[:, None], 0.0, state.phys.qvel),
+            last_root_vel=self._root_vel_world(state),
+        )
+        return state, obs, priv_obs, rew, extras
+
+    def _root_vel_world(self, state: EnvState):
+        from ..physics.engine import root_world_vel
+        lin, ang = root_world_vel(state.phys)
+        return jnp.concatenate([lin, ang], -1)
+
+    # ------------------------------------------------------------------
+    # rewards (reference t1_dh_stand_env.py:572-946); each _rw_* returns the
+    # raw term; stateful trackers update alongside.
+    # ------------------------------------------------------------------
+
+    def _compute_rewards(self, state: EnvState, ctx: StepCtx):
+        cfg = self.cfg
+        R = cfg.rewards
+        n = self.num_envs
+        q = state.phys.qpos
+        dq = state.phys.qvel
+        cmds = state.commands
+        stand = ctx.stand_command
+        phase = self._phase(state, state.phase_length)
+        stance_mask = self._gait_stance_mask(phase)
+
+        values: Dict[str, jnp.ndarray] = {}
+
+        # --- joint_pos (:576) --- uses last step's ref_dof_pos
+        target = jnp.where(stand[:, None], self.default_dof_pos, state.ref_dof_pos)
+        diff_n = jnp.linalg.norm(q - target, axis=-1)
+        r = jnp.exp(-2.0 * diff_n) - 0.2 * jnp.clip(diff_n, 0.0, 0.5)
+        values["joint_pos"] = jnp.where(stand, 1.0, r)
+
+        # --- feet/knee distance (:599/:615) ---
+        def dist_band(xy, dmin, dmax):
+            d = jnp.linalg.norm(xy[:, 0] - xy[:, 1], axis=-1)
+            d_min = jnp.clip(d - dmin, -0.5, 0.0)
+            d_max = jnp.clip(d - dmax, 0.0, 0.5)
+            return (jnp.exp(-jnp.abs(d_min) * 100) + jnp.exp(-jnp.abs(d_max) * 100)) / 2.0
+
+        values["feet_distance"] = dist_band(ctx.feet_pos[..., :2], R.foot_min_dist, R.foot_max_dist)
+        values["knee_distance"] = dist_band(ctx.knee_xy, R.knee_min_dist, R.knee_max_dist)
+
+        # --- foot_slip (:630) — reference reads rigid_state[...,10:12],
+        # i.e. the feet ANGULAR velocity xy; reproduced bit-for-bit.
+        slip = jnp.sqrt(jnp.linalg.norm(ctx.feet_angvel_xy, axis=-1))
+        values["foot_slip"] = jnp.sum(slip * ctx.contact, axis=-1)
+
+        # --- feet_air_time (:642) ---
+        stance_or = jnp.where(
+            (jnp.linalg.norm(cmds[:, :3], axis=-1) < 0.05)[:, None], 1.0, stance_mask)
+        contact_filt = ctx.contact | (stance_or > 0.5) | state.last_contacts
+        first_contact = (state.feet_air_time > 0.0) * contact_filt
+        feet_air_time = state.feet_air_time + self.dt
+        values["feet_air_time"] = jnp.sum(
+            jnp.clip(feet_air_time, 0.0, 0.5) * first_contact, axis=-1)
+        feet_air_time = feet_air_time * (~contact_filt)
+        state = state.replace(feet_air_time=feet_air_time, last_contacts=ctx.contact)
+
+        # --- feet_contact_number (:659) ---
+        stance_eq = jnp.where(stand[:, None], 1.0, stance_mask)
+        agree = jnp.where(ctx.contact == (stance_eq > 0.5), 1.0, -0.3)
+        values["feet_contact_number"] = jnp.mean(agree, axis=-1)
+
+        # --- orientation (:670) ---
+        quat_mismatch = jnp.exp(-jnp.sum(jnp.abs(ctx.base_euler[:, :2]), axis=-1) * 10)
+        orient = jnp.exp(-jnp.linalg.norm(ctx.projected_gravity[:, :2], axis=-1) * 20)
+        values["orientation"] = (quat_mismatch + orient) / 2.0
+
+        # --- feet_contact_forces (:679) ---
+        feet = list(self.model.feet_bodies)
+        fnorm = jnp.linalg.norm(state.contact_forces[:, feet], axis=-1)
+        values["feet_contact_forces"] = jnp.sum(
+            jnp.clip(fnorm - R.max_contact_force, 0.0, 400.0), axis=-1)
+
+        # --- default_joint_pos (:686) ---
+        joint_diff = q - self.default_dof_pos
+        left = joint_diff[:, jnp.asarray([0, 1, 5])]
+        right = joint_diff[:, jnp.asarray([6, 7, 11])]
+        yaw_roll = jnp.linalg.norm(left, axis=-1) + jnp.linalg.norm(right, axis=-1)
+        yaw_roll = jnp.clip(yaw_roll - 0.1, 0.0, 50.0)
+        values["default_joint_pos"] = (jnp.exp(-yaw_roll * 100)
+                                       - 0.01 * jnp.linalg.norm(joint_diff, axis=-1))
+
+        # --- base_height (:706) ---
+        stance_sum = jnp.sum(stance_mask, axis=-1)
+        measured = jnp.sum(ctx.feet_pos[..., 2] * stance_mask, axis=-1) / jnp.maximum(stance_sum, 1e-6)
+        base_h = state.phys.base_pos[:, 2] - (measured - 0.05)
+        values["base_height"] = jnp.exp(-jnp.abs(base_h - R.base_height_target) * 100)
+
+        # --- base_acc (:717) ---
+        root_acc = state.last_root_vel - ctx.root_vel_world
+        values["base_acc"] = jnp.exp(-jnp.linalg.norm(root_acc, axis=-1) * 3)
+
+        # --- vel_mismatch_exp (:726) ---
+        lin_mismatch = jnp.exp(-jnp.square(ctx.base_lin_vel[:, 2]) * 10)
+        ang_mismatch = jnp.exp(-jnp.linalg.norm(ctx.base_ang_vel[:, :2], axis=-1) * 5.0)
+        values["vel_mismatch_exp"] = (lin_mismatch + ang_mismatch) / 2.0
+
+        # --- track_vel_hard (:738) ---
+        lin_err = jnp.linalg.norm(cmds[:, :2] - ctx.base_lin_vel[:, :2], axis=-1)
+        ang_err = jnp.abs(cmds[:, 2] - ctx.base_ang_vel[:, 2])
+        values["track_vel_hard"] = ((jnp.exp(-lin_err * 10) + jnp.exp(-ang_err * 10)) / 2.0
+                                    - 0.2 * (lin_err + ang_err))
+
+        # --- tracking_lin_vel / tracking_ang_vel (:760/:776) ---
+        sig = R.tracking_sigma
+        lin_sq = jnp.sum(jnp.square(cmds[:, :2] - ctx.base_lin_vel[:, :2]), axis=-1)
+        lin_abs = jnp.sum(jnp.abs(cmds[:, :2] - ctx.base_lin_vel[:, :2]), axis=-1)
+        values["tracking_lin_vel"] = jnp.where(
+            stand, jnp.exp(-lin_abs * sig * 2), jnp.exp(-lin_sq * sig))
+        ang_sq = jnp.square(cmds[:, 2] - ctx.base_ang_vel[:, 2])
+        ang_abs = jnp.abs(cmds[:, 2] - ctx.base_ang_vel[:, 2])
+        values["tracking_ang_vel"] = jnp.where(
+            stand, jnp.exp(-ang_abs * sig * 2), jnp.exp(-ang_sq * sig))
+
+        # --- feet_clearance (:793) ---
+        feet_z = ctx.feet_pos[..., 2]
+        delta_z = feet_z - state.last_feet_z
+        feet_height = state.feet_height + delta_z
+        swing_mask = 1.0 - stance_mask
+        rew_pos = ((feet_height > R.target_feet_height)
+                   & (feet_height < R.target_feet_height_max)).astype(jnp.float32)
+        values["feet_clearance"] = jnp.sum(rew_pos * swing_mask, axis=-1)
+        feet_height = feet_height * (~ctx.contact)
+        state = state.replace(feet_height=feet_height, last_feet_z=feet_z)
+
+        # --- low_speed (:816) ---
+        abs_speed = jnp.abs(ctx.base_lin_vel[:, 0])
+        abs_cmd = jnp.abs(cmds[:, 0])
+        too_low = abs_speed < 0.5 * abs_cmd
+        too_high = abs_speed > 1.2 * abs_cmd
+        desired = ~(too_low | too_high)
+        mismatch = jnp.sign(ctx.base_lin_vel[:, 0]) != jnp.sign(cmds[:, 0])
+        r = jnp.where(too_low, -1.0, jnp.where(too_high, 0.0, 0.0))
+        r = jnp.where(desired, 1.2, r)
+        r = jnp.where(mismatch, -2.0, r)
+        values["low_speed"] = r * (abs_cmd > 0.05)
+
+        # --- energy terms (:849-:868) ---
+        values["torques"] = jnp.sum(jnp.square(state.torques), axis=-1)
+        values["dof_vel"] = jnp.sum(jnp.square(dq), axis=-1)
+        values["dof_acc"] = jnp.sum(jnp.square((state.last_dof_vel - dq) / self.dt), axis=-1)
+
+        # --- collision (:870) ---
+        pen = list(self.model.penalized_bodies)
+        values["collision"] = jnp.sum(
+            (jnp.linalg.norm(state.contact_forces[:, pen], axis=-1) > 0.1).astype(jnp.float32),
+            axis=-1)
+
+        # --- action_smoothness (:877) ---
+        d1 = state.last_actions - state.actions
+        d2 = state.actions + state.last_last_actions - 2 * state.last_actions
+        values["action_smoothness"] = (jnp.sum(jnp.square(d1), axis=-1)
+                                       + jnp.sum(jnp.square(d2), axis=-1)
+                                       + 0.05 * jnp.sum(jnp.abs(state.actions), axis=-1))
+
+        # --- stand_still (:899) ---
+        dof_idx = jnp.asarray([0, 1, 2, 3, 5, 6, 7, 8])
+        w = jnp.asarray([2.0, 2.0, 1.0, 1.0, 1.0, 2.0, 2.0, 1.0, 1.0, 1.0])
+        err = jnp.concatenate([(q - self.default_dof_pos)[:, dof_idx],
+                               ctx.feet_euler[:, :, 1]], axis=-1) * w
+        r = jnp.exp(-jnp.sum(jnp.square(err), axis=-1))
+        values["stand_still"] = jnp.where(stand, r, 0.0)
+
+        # --- stand_sysmetry (:917, defined but unscaled by default) ---
+        sym_err = q[:, jnp.asarray([0, 1, 2, 3])] - q[:, jnp.asarray([5, 6, 7, 8])]
+        values["stand_sysmetry"] = jnp.where(
+            stand, jnp.exp(-jnp.sum(jnp.square(sym_err), axis=-1)), 0.0)
+
+        # --- feet_rotation (:926) ---
+        rot = jnp.sum(jnp.square(ctx.feet_euler[:, :, 1]), axis=-1)
+        values["feet_rotation"] = jnp.exp(-jnp.square(rot))
+
+        # --- termination (:894) ---
+        values["termination"] = (state.reset_buf & ~state.time_out_buf).astype(jnp.float32)
+
+        # --- feet_stumble (:937) ---
+        values["feet_stumble"] = jnp.any(
+            jnp.linalg.norm(state.contact_forces[:, feet, :2], axis=-1)
+            > 5 * jnp.abs(state.contact_forces[:, feet, 2]), axis=-1).astype(jnp.float32)
+
+        # --- dof_vel_limits (:942) — reference hard-codes knee limit 10 ---
+        lim = self.dof_vel_limits.at[jnp.asarray([4, 9])].set(10.0)
+        values["dof_vel_limits"] = jnp.sum(
+            jnp.clip(jnp.abs(dq) - lim * R.soft_dof_vel_limit, 0.0, 1.0), axis=-1)
+
+        # total = sum of scaled active terms; only_positive clips at 0
+        rew = jnp.zeros((n,))
+        sums = state.episode_sums
+        for i, name in enumerate(self.reward_names):
+            term = values[name] * self.reward_scales_dt[name]
+            rew = rew + term
+            sums = sums.at[:, i].add(term)
+        if cfg.rewards.only_positive_rewards:
+            rew = jnp.maximum(rew, 0.0)
+        if "termination" in self.reward_scales_dt:
+            t = values["termination"] * self.reward_scales_dt["termination"]
+            rew = rew + t
+        state = state.replace(episode_sums=sums)
+        return state, rew
+
+    # ------------------------------------------------------------------
+    # observations (reference t1_dh_stand_env.py:368-481)
+    # ------------------------------------------------------------------
+
+    def _compute_observations(self, state: EnvState, key):
+        cfg = self.cfg
+        dr = cfg.domain_rand
+        os_ = cfg.normalization.obs_scales
+        n = self.num_envs
+        q, dq = state.phys.qpos, state.phys.qvel
+
+        phase = self._phase(state, state.phase_length)
+        ref_dof_pos, ref_action = self._compute_ref_state(state, phase)
+        state = state.replace(ref_dof_pos=ref_dof_pos, ref_action=ref_action)
+
+        sin_pos = jnp.sin(2 * jnp.pi * phase)[:, None]
+        cos_pos = jnp.cos(2 * jnp.pi * phase)[:, None]
+        stance_mask = self._gait_stance_mask(phase)
+        feet = list(self.model.feet_bodies)
+        contact_mask = (state.contact_forces[:, feet, 2] > 5.0).astype(jnp.float32)
+        command_input = jnp.concatenate(
+            [sin_pos, cos_pos, state.commands[:, :3] * self.commands_scale], -1)
+
+        # privileged (critic) frame — no lag, no noise
+        base_euler = sp.quat_to_euler_xyz(state.phys.base_quat)
+        if dr.add_ext_force:
+            pf = state.ext_force[:, :2] / (dr.ext_force_max_x + 0.1)
+            pt = state.ext_torque / (dr.ext_torque_max + 0.1)
+        else:
+            pf = state.push_force[:, :2]
+            pt = state.push_torque
+        priv_frame = jnp.concatenate([
+            command_input,                                    # 5
+            (q - self.default_dof_pos) * os_.dof_pos,         # 12
+            dq * os_.dof_vel,                                 # 12
+            state.actions,                                    # 12
+            q - ref_dof_pos,                                  # 12
+            state.phys.base_vel[:, 3:] * os_.lin_vel,         # 3
+            state.phys.base_vel[:, :3] * os_.ang_vel,         # 3
+            base_euler * os_.quat,                            # 3
+            pf,                                               # 2
+            pt,                                               # 3
+            state.params.friction[:, None],                   # 1
+            state.params.body_mass[:, None] / 30.0,           # 1
+            stance_mask,                                      # 2
+            contact_mask,                                     # 2
+        ], -1)
+
+        # actor frame — lagged sensors + uniform noise
+        if dr.add_dof_lag:
+            lagged = legged.read_ring(state.dof_lag_buffer, state.params.dof_lag_steps)
+            lag_q, lag_dq = lagged[:, :self.num_actions], lagged[:, self.num_actions:]
+        else:
+            lag_q, lag_dq = q, dq
+        if dr.add_imu_lag:
+            imu = legged.read_ring(state.imu_lag_buffer, state.params.imu_lag_steps)
+            lag_ang_vel, lag_euler = imu[:, :3], imu[:, 3:]
+        else:
+            lag_ang_vel, lag_euler = state.phys.base_vel[:, :3], base_euler
+
+        obs_frame = jnp.concatenate([
+            command_input,                                    # 5
+            (lag_q - self.default_dof_pos) * os_.dof_pos,     # 12
+            lag_dq * os_.dof_vel,                             # 12
+            state.actions,                                    # 12
+            lag_ang_vel * os_.ang_vel,                        # 3
+            lag_euler * os_.quat,                             # 3
+        ], -1)
+
+        if cfg.noise.add_noise:
+            noise = (2.0 * jax.random.uniform(key, obs_frame.shape) - 1.0)
+            obs_frame = obs_frame + noise * self.noise_scale_vec * cfg.noise.noise_level
+
+        obs_hist = jnp.concatenate([state.obs_hist[:, 1:], obs_frame[:, None]], axis=1)
+        critic_hist = jnp.concatenate([state.critic_hist[:, 1:], priv_frame[:, None]], axis=1)
+        state = state.replace(obs_hist=obs_hist, critic_hist=critic_hist)
+
+        obs = obs_hist.reshape(n, -1)            # [N, 66*47], oldest first
+        priv_obs = critic_hist.reshape(n, -1)    # [N, 3*73], oldest first
+        return state, obs, priv_obs
+
+    def measured_heights(self, state: EnvState) -> jnp.ndarray:
+        """Yaw-rotated 187-point height scan around the base (reference
+        ``_get_heights``, legged_robot.py:1551-1587; off for t1 but part of
+        the framework surface)."""
+        pts = sp.quat_apply_yaw(
+            state.phys.base_quat[:, None, :], self.height_points[None, :, :])
+        pts = pts + state.phys.base_pos[:, None, :]
+        return sample_height_min3(self.heightfield, pts[..., :2])
+
+    # ------------------------------------------------------------------
+    # masked reset (reference t1_dh_stand_env.py:483-559)
+    # ------------------------------------------------------------------
+
+    def _reset_idx(self, state: EnvState, done: jnp.ndarray, key, force_all: bool = False) -> EnvState:
+        cfg = self.cfg
+        n, na = self.num_envs, self.num_actions
+        m1 = done[:, None]
+        ks = jax.random.split(key, 10)
+
+        # terrain curriculum (uses pre-reset positions)
+        if cfg.terrain.curriculum and self.custom_origins and not force_all:
+            level, origin = legged.terrain_curriculum_update(
+                cfg, ks[0], done, state.phys.base_pos[:, :2], state.env_origin,
+                state.commands, state.terrain_level, state.terrain_type,
+                self.terrain_origins)
+            state = state.replace(terrain_level=level, env_origin=origin)
+
+        # command curriculum (gated on the shared step counter)
+        if cfg.commands.curriculum and not force_all:
+            try:
+                t_idx = self.reward_names.index("tracking_lin_vel")
+                new_range = legged.command_curriculum_update(
+                    cfg, done, state.common_step, state.episode_sums[:, t_idx],
+                    state.cmd_vx_range, float(self.max_episode_length),
+                    self.reward_scales_dt["tracking_lin_vel"])
+                state = state.replace(cmd_vx_range=new_range)
+            except ValueError:
+                pass
+
+        # fresh dof / root states
+        new_q, new_dq = legged.sample_reset_dofs(cfg, ks[1], n, self.default_dof_pos)
+        new_pos = legged.sample_reset_root(cfg, ks[2], n, state.env_origin, self.custom_origins)
+        phys = state.phys
+        phys = phys.replace(
+            base_pos=jnp.where(m1, new_pos, phys.base_pos),
+            base_quat=jnp.where(m1, jnp.asarray([1.0, 0, 0, 0]), phys.base_quat),
+            base_vel=jnp.where(m1, 0.0, phys.base_vel),
+            qpos=jnp.where(m1, new_q, phys.qpos),
+            qvel=jnp.where(m1, new_dq, phys.qvel),
+            cp_anchor=jnp.where(done[:, None, None], 0.0, phys.cp_anchor),
+        )
+
+        # re-randomize dof props + lag props (reference reset_idx:507-510)
+        p, d, offs, coul, visc, arm = legged.sample_dof_params(
+            cfg, ks[3], n, self.p_gains_nom, self.d_gains_nom)
+        lag, dof_lag, imu_lag = legged.sample_lag_steps(cfg, ks[4], n)
+        params = state.params
+        params = params.replace(
+            p_gains=jnp.where(m1, p, params.p_gains),
+            d_gains=jnp.where(m1, d, params.d_gains),
+            motor_offsets=jnp.where(m1, offs, params.motor_offsets),
+            joint_coulomb=jnp.where(m1, coul, params.joint_coulomb),
+            joint_viscous=jnp.where(m1, visc, params.joint_viscous),
+            lag_steps=jnp.where(done, lag, params.lag_steps),
+            dof_lag_steps=jnp.where(done, dof_lag, params.dof_lag_steps),
+            imu_lag_steps=jnp.where(done, imu_lag, params.imu_lag_steps),
+            dynamics=params.dynamics.replace(
+                armature=jnp.where(m1, arm, params.dynamics.armature)),
+        )
+
+        zero12 = jnp.zeros((n, na))
+        state = state.replace(
+            phys=phys, params=params,
+            actions=jnp.where(m1, 0.0, state.actions),
+            last_actions=jnp.where(m1, 0.0, state.last_actions),
+            last_last_actions=jnp.where(m1, 0.0, state.last_last_actions),
+            last_dof_vel=jnp.where(m1, 0.0, state.last_dof_vel),
+            last_root_vel=jnp.where(m1, 0.0, state.last_root_vel),
+            feet_air_time=jnp.where(m1, 0.0, state.feet_air_time),
+            episode_length=jnp.where(done, 0, state.episode_length),
+            phase_length=jnp.where(done, 0, state.phase_length),
+            gait_start=jnp.where(
+                done,
+                jax.random.randint(ks[5], (n,), 0, 2).astype(jnp.float32) * 0.5,
+                state.gait_start),
+            lag_buffer=jnp.where(done[:, None, None], 0.0, state.lag_buffer),
+            dof_lag_buffer=jnp.where(done[:, None, None], 0.0, state.dof_lag_buffer),
+            imu_lag_buffer=jnp.where(done[:, None, None], 0.0, state.imu_lag_buffer),
+            obs_hist=jnp.where(done[:, None, None], 0.0, state.obs_hist),
+            critic_hist=jnp.where(done[:, None, None], 0.0, state.critic_hist),
+            episode_sums=jnp.where(m1, 0.0, state.episode_sums),
+        )
+
+        # new gait schedule + boundary resample (episode_length==0 matches
+        # gait_time[:,0]==0, so freshly reset envs get walking commands)
+        state = self._generate_gait_time(state, ks[6], done)
+        state = self._resample_gait_commands(state, ks[7])
+        return state
+
+    def _build_extras(self, state: EnvState, done) -> Dict[str, jnp.ndarray]:
+        n_done = jnp.sum(done)
+        sums_done = jnp.sum(jnp.where(done[:, None], state.episode_sums, 0.0), axis=0)
+        extras = {
+            "time_outs": state.time_out_buf,
+            "done_count": n_done,
+            # per-term mean episode reward over done envs, per second
+            "episode_sums_done": sums_done / self.max_episode_length_s,
+            "max_command_x": state.cmd_vx_range[1],
+        }
+        if self.custom_origins:
+            extras["terrain_level_mean"] = jnp.mean(state.terrain_level.astype(jnp.float32))
+        return extras
