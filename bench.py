@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Canonical benchmark: t1_dh_stand training throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "env_steps_per_s_per_chip", "value": N, "unit": "env-steps/s",
+   "vs_baseline": N / 100000}
+
+The metric is full-pipeline training throughput (physics + obs/reward +
+DH-PPO update) in policy env-steps per second at the driver-defined config.
+The reference publishes no numbers (BASELINE.md); the 100k env-steps/s
+denominator is the typical single-GPU legged-gym figure at this task scale
+and stands in as the parity bar.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def main():
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "2"))
+
+    import jax
+
+    from ti5_isaacgym_tpu.algo.runner import OnPolicyRunner
+    from ti5_isaacgym_tpu.configs.t1_dh_stand import T1EnvCfg, T1TrainCfg
+    from ti5_isaacgym_tpu.envs.t1_dh_stand import T1DHStandEnv
+
+    cfg = T1EnvCfg()
+    cfg = dataclasses.replace(cfg, env=dataclasses.replace(cfg.env, num_envs=num_envs))
+    env = T1DHStandEnv(cfg)
+    runner = OnPolicyRunner(env, cfg, T1TrainCfg(), log_dir=None)
+    carry = runner.init_carry()
+    it = runner._iter_fn
+    for _ in range(warmup):
+        carry, metrics = it(carry)
+    jax.block_until_ready(carry.ts.params)
+    t0 = time.time()
+    for _ in range(iters):
+        carry, metrics = it(carry)
+    jax.block_until_ready(carry.ts.params)
+    dt = time.time() - t0
+    steps = iters * num_envs * runner.num_steps_per_env
+    rate = steps / dt
+    print(json.dumps({
+        "metric": "env_steps_per_s_per_chip",
+        "value": round(rate, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(rate / 100000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,138 @@
+"""Algorithm-layer tests: networks, GAE, PPO update mechanics."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ti5_isaacgym_tpu.algo import networks as nets
+from ti5_isaacgym_tpu.algo.ppo import PPO, PPOConfig, init_train_state
+from ti5_isaacgym_tpu.algo.rollout import Transition, compute_gae, flatten_batch, minibatch_indices
+
+
+def test_gaussian_head():
+    mean = jnp.zeros((4, 3))
+    std = jnp.ones((4, 3))
+    a = jnp.zeros((4, 3))
+    lp = nets.log_prob(mean, std, a)
+    np.testing.assert_allclose(np.asarray(lp), 3 * (-0.5 * np.log(2 * np.pi)), rtol=1e-5)
+    ent = nets.entropy(std[0])
+    np.testing.assert_allclose(float(ent), 3 * 0.5 * (1 + np.log(2 * np.pi)), rtol=1e-5)
+    # KL of identical distributions is ~0 (up to the reference's 1e-5 epsilon)
+    kl = nets.gaussian_kl(mean, std, mean, std)
+    np.testing.assert_allclose(np.asarray(kl), 3e-5, atol=1e-4)
+
+
+def test_gae_hand_case():
+    # T=3, N=1; gamma=0.5, lam=1.0 => plain discounted MC minus value
+    rewards = jnp.array([[1.0], [1.0], [1.0]])
+    dones = jnp.zeros((3, 1), bool)
+    values = jnp.zeros((3, 1))
+    traj = Transition(obs=None, critic_obs=None, actions=None, rewards=rewards,
+                      dones=dones, values=values, log_probs=None, mu=None, sigma=None)
+    returns, adv = compute_gae(traj, jnp.zeros((1,)), gamma=0.5, lam=1.0)
+    np.testing.assert_allclose(np.asarray(returns[:, 0]), [1.75, 1.5, 1.0], atol=1e-6)
+
+
+def test_gae_respects_dones():
+    rewards = jnp.array([[1.0], [1.0], [1.0]])
+    dones = jnp.array([[False], [True], [False]])
+    values = jnp.zeros((3, 1))
+    traj = Transition(obs=None, critic_obs=None, actions=None, rewards=rewards,
+                      dones=dones, values=values, log_probs=None, mu=None, sigma=None)
+    returns, _ = compute_gae(traj, jnp.ones((1,)) * 10.0, gamma=0.9, lam=1.0)
+    # step1 return must not bootstrap across the done at step 1
+    np.testing.assert_allclose(float(returns[0, 0]), 1.0 + 0.9 * 1.0, atol=1e-6)
+    # step2 bootstraps on last_values
+    np.testing.assert_allclose(float(returns[2, 0]), 1.0 + 0.9 * 10.0, atol=1e-6)
+
+
+def test_minibatch_indices_cover_all():
+    idx = minibatch_indices(jax.random.PRNGKey(0), 64, 4)
+    assert idx.shape == (4, 16)
+    assert set(np.asarray(idx).ravel().tolist()) == set(range(64))
+
+
+def test_dh_network_shapes():
+    net = nets.ActorCriticDH()
+    obs = jnp.zeros((5, 66 * 47))
+    priv = jnp.zeros((5, 219))
+    params = net.init(jax.random.PRNGKey(0), obs, priv)
+    mean, std = net.apply(params, obs, method="distribution")
+    assert mean.shape == (5, 12) and std.shape == (5, 12)
+    v = net.apply(params, priv, method="evaluate")
+    assert v.shape == (5,)
+    est = net.apply(params, obs, method="estimate_velocity")
+    assert est.shape == (5, 3)
+    a, e = net.apply(params, obs, method="act_inference")
+    assert a.shape == (5, 12) and e.shape == (5, 3)
+    # actor input is 235 + 3 + 64 = 302
+    actor_k = params["params"]["actor"]["Dense_0"]["kernel"]
+    assert actor_k.shape[0] == 302
+    # std initialised at 1.0
+    np.testing.assert_allclose(np.asarray(params["params"]["std"]), 1.0)
+
+
+def test_cnn_output_dims():
+    cnn = nets.LongHistoryCNN()
+    x = jnp.zeros((3, 66 * 47))
+    p = cnn.init(jax.random.PRNGKey(0), x)
+    y = cnn.apply(p, x)
+    assert y.shape == (3, 64)
+    # conv stack: 47 -(k6,s3)-> 14 -(k4,s2)-> 6; 6*16 = 96 into Dense(128)
+    assert p["params"]["Dense_0"]["kernel"].shape[0] == 96
+
+
+def _synthetic_batch(key, T=8, N=16):
+    ks = jax.random.split(key, 6)
+    obs = jax.random.normal(ks[0], (T, N, 66 * 47)) * 0.1
+    priv = jax.random.normal(ks[1], (T, N, 219)) * 0.1
+    actions = jax.random.normal(ks[2], (T, N, 12)) * 0.1
+    rewards = jax.random.normal(ks[3], (T, N)) * 0.1
+    dones = jnp.zeros((T, N), bool)
+    return obs, priv, actions, rewards, dones
+
+
+def test_ppo_update_moves_params_and_lr():
+    cfg = PPOConfig(num_learning_epochs=2, num_mini_batches=4, learning_rate=1e-5)
+    net = nets.ActorCriticDH()
+    obs, priv, actions, rewards, dones = _synthetic_batch(jax.random.PRNGKey(1))
+    params = net.init(jax.random.PRNGKey(2), obs[0], priv[0])
+    alg = PPO(cfg, net)
+    ts = init_train_state(cfg, params)
+    mean, std = net.apply(params, obs.reshape(-1, obs.shape[-1]), method="distribution")
+    T, N = rewards.shape
+    traj = Transition(
+        obs=obs, critic_obs=priv, actions=actions, rewards=rewards, dones=dones,
+        values=jnp.zeros((T, N)),
+        log_probs=nets.log_prob(mean, std, actions.reshape(-1, 12)).reshape(T, N),
+        mu=mean.reshape(T, N, 12), sigma=std.reshape(T, N, 12))
+    returns, adv = compute_gae(traj, jnp.zeros((N,)), cfg.gamma, cfg.lam)
+    ts2, metrics = jax.jit(alg.update)(ts, traj, returns, adv, jax.random.PRNGKey(3))
+    # parameters moved
+    delta = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), ts.params, ts2.params)
+    assert max(jax.tree.leaves(delta)) > 0
+    assert int(ts2.update_count) == 8
+    assert float(metrics["estimator_loss"]) >= 0
+    # with a tiny step size the policy barely moves => tiny KL => the
+    # adaptive rule raises the lr
+    assert float(metrics["lr"]) > cfg.learning_rate
+
+
+def test_estimator_loss_targets_linvel_slice():
+    """DH estimator regresses critic_obs[..., 199:202]."""
+    cfg = PPOConfig()
+    net = nets.ActorCriticDH()
+    obs = jnp.zeros((4, 66 * 47))
+    priv = jnp.zeros((4, 219)).at[:, 199:202].set(jnp.asarray([1.0, 2.0, 3.0]))
+    params = net.init(jax.random.PRNGKey(0), obs, priv)
+    alg = PPO(cfg, net)
+    mb = Transition(obs=obs, critic_obs=priv, actions=jnp.zeros((4, 12)),
+                    rewards=None, dones=None, values=jnp.zeros((4,)),
+                    log_probs=jnp.zeros((4,)), mu=jnp.zeros((4, 12)),
+                    sigma=jnp.ones((4, 12)))
+    loss, (s, v, est_loss, *_ ) = alg._loss(params, mb, jnp.zeros((4,)), jnp.zeros((4,)))
+    est = net.apply(params, obs, method="estimate_velocity")
+    want = float(jnp.mean(jnp.square(est - jnp.asarray([1.0, 2.0, 3.0]))))
+    np.testing.assert_allclose(float(est_loss), want, rtol=1e-5)

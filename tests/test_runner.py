@@ -1,0 +1,108 @@
+"""Runner + sharded-training integration tests (8 virtual CPU devices)."""
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ti5_isaacgym_tpu.algo.runner import OnPolicyRunner
+from ti5_isaacgym_tpu.configs.t1_dh_stand import T1EnvCfg, T1TrainCfg
+from ti5_isaacgym_tpu.envs.t1_dh_stand import T1DHStandEnv
+
+
+def small_cfgs(num_envs=16, steps=4, vanilla=False):
+    cfg = T1EnvCfg()
+    cfg = dataclasses.replace(
+        cfg,
+        env=dataclasses.replace(cfg.env, num_envs=num_envs),
+        terrain=dataclasses.replace(cfg.terrain, num_rows=2, num_cols=2, border_size=2.0),
+    )
+    tcfg = T1TrainCfg()
+    runner_over = dict(num_steps_per_env=steps)
+    if vanilla:
+        runner_over.update(policy_class_name="ActorCritic", algorithm_class_name="PPO")
+    tcfg = dataclasses.replace(tcfg, runner=dataclasses.replace(tcfg.runner, **runner_over))
+    return cfg, tcfg
+
+
+@pytest.fixture(scope="module")
+def trained():
+    cfg, tcfg = small_cfgs()
+    env = T1DHStandEnv(cfg)
+    runner = OnPolicyRunner(env, cfg, tcfg, log_dir=None)
+    carry0 = runner.init_carry()
+    carry1 = runner.learn(2, carry=carry0, log_every=100)
+    return runner, carry0, carry1
+
+
+def test_learn_updates_params(trained):
+    runner, carry0, carry1 = trained
+    deltas = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                          carry0.ts.params, carry1.ts.params)
+    assert max(jax.tree.leaves(deltas)) > 0
+    assert bool(jnp.all(jnp.isfinite(carry1.obs)))
+
+
+def test_inference_policy(trained):
+    runner, _, carry1 = trained
+    policy = runner.get_inference_policy(carry1.ts.params)
+    a = policy(carry1.obs)
+    assert a.shape == (carry1.obs.shape[0], 12)
+    # deterministic
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(policy(carry1.obs)))
+
+
+def test_checkpoint_roundtrip(tmp_path, trained):
+    runner, _, carry1 = trained
+    runner.log_dir = str(tmp_path)
+    path = runner.save(carry1)
+    carry2 = runner.load(path)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(carry1.ts.params)[0]),
+        np.asarray(jax.tree.leaves(carry2.ts.params)[0]))
+    # env curriculum state restored too
+    np.testing.assert_array_equal(np.asarray(carry1.env_state.episode_length),
+                                  np.asarray(carry2.env_state.episode_length))
+
+
+def test_vanilla_runner():
+    cfg, tcfg = small_cfgs(vanilla=True)
+    env = T1DHStandEnv(cfg)
+    runner = OnPolicyRunner(env, cfg, tcfg, log_dir=None)
+    carry = runner.learn(1, log_every=100)
+    assert bool(jnp.all(jnp.isfinite(jax.tree.leaves(carry.ts.params)[0])))
+
+
+@pytest.mark.skipif(len(jax.devices("cpu")) < 8, reason="needs 8 virtual devices")
+def test_sharded_training_matches_shapes():
+    from ti5_isaacgym_tpu.parallel import ShardedRunner, make_mesh
+
+    cfg, tcfg = small_cfgs(num_envs=16, steps=2)
+    env = T1DHStandEnv(cfg)
+    runner = OnPolicyRunner(env, cfg, tcfg, log_dir=None)
+    mesh = make_mesh(8, devices=jax.devices("cpu"))
+    sharded = ShardedRunner(runner, mesh)
+    carry = sharded.init_carry()
+    it = sharded.compile_for(carry)
+    carry2, metrics = it(carry)
+    assert bool(jnp.isfinite(metrics["value_loss"]))
+    # params stay replicated and finite
+    assert bool(jnp.all(jnp.isfinite(jax.tree.leaves(carry2.ts.params)[0])))
+    # env state stays sharded with full logical shape
+    assert carry2.obs.shape == carry.obs.shape
+
+
+def test_registry_and_cli_overrides():
+    from ti5_isaacgym_tpu.utils.helpers import get_args
+    from ti5_isaacgym_tpu.utils.registry import task_registry
+
+    assert "t1_dh_stand" in task_registry.task_names()
+    args = get_args(["--task", "t1_flat", "--num_envs", "8", "--max_iterations", "3"])
+    env_cfg, train_cfg = task_registry.get_cfgs(args.task)
+    from ti5_isaacgym_tpu.utils.config import update_cfg_from_args
+
+    env_cfg, train_cfg = update_cfg_from_args(env_cfg, train_cfg, args)
+    assert env_cfg.env.num_envs == 8
+    assert train_cfg.runner.max_iterations == 3

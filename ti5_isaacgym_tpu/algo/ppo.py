@@ -1,0 +1,184 @@
+"""PPO / DH-PPO update rules (reference ``humanoid/algo/ppo/ppo.py`` and
+``dh_ppo.py``).
+
+One implementation serves both variants: ``DHPPO`` adds the supervised
+state-estimator MSE term (regressing the base linear velocity out of the
+privileged observation at ``lin_vel_idx``) to the PPO loss
+(reference ``dh_ppo.py:120-182``) — a single Adam step over the combined
+loss, exactly as the reference does (its separate estimator optimizer is
+created but its step is commented out, ``dh_ppo.py:184-189``).
+
+TPU-first: the whole update (epochs x minibatches) is a nested ``lax.scan``
+over one random permutation of the flattened ``[T*N]`` batch; the adaptive-KL
+learning rate is a carried scalar applied after ``scale_by_adam`` so no
+optimizer rebuild is ever traced.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from . import networks as nets
+from .rollout import Transition, flatten_batch, minibatch_indices
+
+
+@struct.dataclass
+class PPOConfig:
+    clip_param: float = struct.field(pytree_node=False, default=0.2)
+    num_learning_epochs: int = struct.field(pytree_node=False, default=2)
+    num_mini_batches: int = struct.field(pytree_node=False, default=4)
+    value_loss_coef: float = struct.field(pytree_node=False, default=1.0)
+    entropy_coef: float = struct.field(pytree_node=False, default=0.001)
+    gamma: float = struct.field(pytree_node=False, default=0.994)
+    lam: float = struct.field(pytree_node=False, default=0.9)
+    desired_kl: float = struct.field(pytree_node=False, default=0.01)
+    max_grad_norm: float = struct.field(pytree_node=False, default=1.0)
+    learning_rate: float = struct.field(pytree_node=False, default=1e-5)
+    min_lr: float = struct.field(pytree_node=False, default=1e-5)
+    max_lr: float = struct.field(pytree_node=False, default=1e-2)
+    use_clipped_value_loss: bool = struct.field(pytree_node=False, default=True)
+    schedule: str = struct.field(pytree_node=False, default="adaptive")
+    # DH extras
+    estimator_loss: bool = struct.field(pytree_node=False, default=True)
+    lin_vel_idx: int = struct.field(pytree_node=False, default=199)
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    lr: jnp.ndarray          # adaptive-KL learning rate (scalar)
+    update_count: jnp.ndarray
+
+
+def make_optimizer(cfg: PPOConfig):
+    """clip-then-adam, direction only; the carried ``lr`` scales updates."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.scale_by_adam(),
+    )
+
+
+def init_train_state(cfg: PPOConfig, params) -> TrainState:
+    opt = make_optimizer(cfg)
+    return TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        lr=jnp.asarray(cfg.learning_rate, jnp.float32),
+        update_count=jnp.zeros((), jnp.int32),
+    )
+
+
+class PPO:
+    """Update rule bound to a network module (vanilla or DH)."""
+
+    def __init__(self, cfg: PPOConfig, network, *, dh: bool = True,
+                 axis_name=None):
+        self.cfg = cfg
+        self.network = network
+        self.dh = dh and cfg.estimator_loss
+        self.optimizer = make_optimizer(cfg)
+        # when set (by the parallel trainer), gradients and the KL statistic
+        # are pmean'd across the mesh inside the update
+        self.axis_name = axis_name
+
+    # --- acting -------------------------------------------------------
+
+    def act(self, params, obs, critic_obs, key):
+        mean, std = self.network.apply(params, obs, method="distribution")
+        action = nets.sample_action(mean, std, key)
+        logp = nets.log_prob(mean, std, action)
+        value = self.network.apply(params, critic_obs, method="evaluate")
+        return action, logp, mean, std, value
+
+    def value(self, params, critic_obs):
+        return self.network.apply(params, critic_obs, method="evaluate")
+
+    # --- loss ---------------------------------------------------------
+
+    def _loss(self, params, mb: Transition, mb_returns, mb_adv):
+        cfg = self.cfg
+        mean, std = self.network.apply(params, mb.obs, method="distribution")
+        logp = nets.log_prob(mean, std, mb.actions)
+        value = self.network.apply(params, mb.critic_obs, method="evaluate")
+        ent = nets.entropy(std)
+
+        ratio = jnp.exp(logp - mb.log_probs)
+        surr = -mb_adv * ratio
+        surr_clipped = -mb_adv * jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param)
+        surrogate_loss = jnp.mean(jnp.maximum(surr, surr_clipped))
+
+        if cfg.use_clipped_value_loss:
+            v_clipped = mb.values + jnp.clip(value - mb.values, -cfg.clip_param, cfg.clip_param)
+            v_loss = jnp.maximum(jnp.square(value - mb_returns),
+                                 jnp.square(v_clipped - mb_returns)).mean()
+        else:
+            v_loss = jnp.square(mb_returns - value).mean()
+
+        loss = surrogate_loss + cfg.value_loss_coef * v_loss - cfg.entropy_coef * ent.mean()
+        est_loss = jnp.zeros(())
+        if self.dh:
+            est_vel = self.network.apply(params, mb.obs, method="estimate_velocity")
+            ref_vel = jax.lax.dynamic_slice_in_dim(
+                mb.critic_obs, cfg.lin_vel_idx, 3, axis=-1)
+            est_loss = jnp.mean(jnp.square(est_vel - ref_vel))
+            loss = loss + est_loss
+        return loss, (surrogate_loss, v_loss, est_loss, mean, std)
+
+    # --- update -------------------------------------------------------
+
+    def update(self, ts: TrainState, traj: Transition, returns, advantages,
+               key) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        cfg = self.cfg
+        flat = flatten_batch(traj)
+        flat_ret = returns.reshape(-1)
+        flat_adv = advantages.reshape(-1)
+        total = flat_ret.shape[0]
+        idx = minibatch_indices(key, total, cfg.num_mini_batches)
+
+        def mb_step(ts: TrainState, mb_idx):
+            mb = jax.tree.map(lambda x: x[mb_idx], flat)
+            mb_ret, mb_adv = flat_ret[mb_idx], flat_adv[mb_idx]
+
+            # adaptive-KL LR (reference dh_ppo.py:139-151): measured with the
+            # *current* params before this minibatch's step
+            lr = ts.lr
+            if cfg.desired_kl is not None and cfg.schedule == "adaptive":
+                mu_new, sigma_new = self.network.apply(ts.params, mb.obs,
+                                                       method="distribution")
+                kl_mean = jnp.mean(nets.gaussian_kl(mb.mu, mb.sigma, mu_new, sigma_new))
+                if self.axis_name is not None:
+                    kl_mean = jax.lax.pmean(kl_mean, self.axis_name)
+                lr = jnp.where(kl_mean > cfg.desired_kl * 2.0,
+                               jnp.maximum(cfg.min_lr, lr / 1.5), lr)
+                lr = jnp.where((kl_mean < cfg.desired_kl / 2.0) & (kl_mean > 0.0),
+                               jnp.minimum(cfg.max_lr, lr * 1.5), lr)
+            else:
+                kl_mean = jnp.zeros(())
+
+            (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                ts.params, mb, mb_ret, mb_adv)
+            if self.axis_name is not None:
+                grads = jax.lax.pmean(grads, self.axis_name)
+            updates, opt_state = self.optimizer.update(grads, ts.opt_state, ts.params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(ts.params, updates)
+            surrogate_loss, v_loss, est_loss, _, _ = aux
+            ts = TrainState(params=params, opt_state=opt_state, lr=lr,
+                            update_count=ts.update_count + 1)
+            return ts, jnp.stack([v_loss, surrogate_loss, est_loss, kl_mean, lr])
+
+        def epoch(ts, _):
+            return jax.lax.scan(mb_step, ts, idx)
+
+        ts, metrics = jax.lax.scan(epoch, ts, None, length=cfg.num_learning_epochs)
+        m = metrics.reshape(-1, metrics.shape[-1]).mean(axis=0)
+        return ts, {
+            "value_loss": m[0], "surrogate_loss": m[1],
+            "estimator_loss": m[2], "kl": m[3], "lr": m[4],
+        }

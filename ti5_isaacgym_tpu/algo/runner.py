@@ -1,0 +1,291 @@
+"""On-policy training runners (reference ``humanoid/algo/ppo/
+on_policy_runner.py`` / ``dh_on_policy_runner.py``).
+
+The whole learning iteration — 24-step rollout, GAE, and the full
+epochs x minibatches PPO update — is ONE jitted function; the Python loop
+only dispatches iterations and handles logging/checkpointing.  On a device
+mesh the same function is sharded over envs by the parallel trainer
+(:mod:`ti5_isaacgym_tpu.parallel`).
+"""
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.t1_dh_stand import T1EnvCfg, T1TrainCfg
+from . import networks as nets
+from .ppo import PPO, PPOConfig, TrainState, init_train_state
+from .rollout import Transition, compute_gae
+
+
+class RunnerCarry(NamedTuple):
+    """Persistent jit-side training state."""
+
+    env_state: Any
+    obs: jnp.ndarray
+    priv_obs: jnp.ndarray
+    ts: TrainState
+    rng: jnp.ndarray
+    cur_reward_sum: jnp.ndarray   # [N] running episode return
+    cur_ep_len: jnp.ndarray       # [N]
+
+
+def build_network(train_cfg: T1TrainCfg, env_cfg: T1EnvCfg):
+    p = train_cfg.policy
+    name = train_cfg.runner.policy_class_name
+    if name == "ActorCriticDH":
+        return nets.ActorCriticDH(
+            num_actions=env_cfg.env.num_actions,
+            num_short_obs=env_cfg.env.num_short_obs,
+            num_single_obs=env_cfg.env.num_single_obs,
+            frame_stack=env_cfg.env.frame_stack,
+            actor_hidden=p.actor_hidden_dims,
+            critic_hidden=p.critic_hidden_dims,
+            estimator_hidden=p.state_estimator_hidden_dims,
+            filters=p.filter_size, kernels=p.kernel_size, strides=p.stride_size,
+            lh_output_dim=p.lh_output_dim, init_noise_std=p.init_noise_std,
+        )
+    if name == "ActorCritic":
+        return nets.ActorCritic(
+            num_actions=env_cfg.env.num_actions,
+            actor_hidden=p.actor_hidden_dims,
+            critic_hidden=p.critic_hidden_dims,
+            init_noise_std=p.init_noise_std,
+        )
+    raise ValueError(f"unknown policy class {name}")
+
+
+class OnPolicyRunner:
+    """Drives collect -> GAE -> update; DH and vanilla variants share this
+    implementation (the reference keeps two near-identical runner classes;
+    here the network/algorithm choice is configuration)."""
+
+    def __init__(self, env, env_cfg: T1EnvCfg, train_cfg: T1TrainCfg,
+                 log_dir: Optional[str] = None, seed: Optional[int] = None):
+        self.env = env
+        self.env_cfg = env_cfg
+        self.train_cfg = train_cfg
+        self.log_dir = log_dir
+        a = train_cfg.algorithm
+        self.ppo_cfg = PPOConfig(
+            clip_param=a.clip_param, num_learning_epochs=a.num_learning_epochs,
+            num_mini_batches=a.num_mini_batches, value_loss_coef=a.value_loss_coef,
+            entropy_coef=a.entropy_coef, gamma=a.gamma, lam=a.lam,
+            desired_kl=a.desired_kl, max_grad_norm=a.max_grad_norm,
+            learning_rate=a.learning_rate, schedule=a.schedule,
+            estimator_loss=(train_cfg.runner.algorithm_class_name == "DHPPO"),
+            lin_vel_idx=a.lin_vel_idx,
+        )
+        self.network = build_network(train_cfg, env_cfg)
+        self.alg = PPO(self.ppo_cfg, self.network,
+                       dh=(train_cfg.runner.policy_class_name == "ActorCriticDH"))
+        self.num_steps_per_env = train_cfg.runner.num_steps_per_env
+        self.seed = train_cfg.seed if seed is None else seed
+        self.iteration_count = 0
+        self._iter_fn = jax.jit(self._make_iteration())
+        self._csv_file = None
+
+    # ------------------------------------------------------------------
+
+    def init_carry(self) -> RunnerCarry:
+        key = jax.random.PRNGKey(self.seed)
+        k_env, k_net, k_run = jax.random.split(key, 3)
+        env_state = self.env.init_state(k_env)
+        env_state, obs, priv = self.env.reset(env_state)
+        params = self.network.init(k_net, obs[:1], priv[:1])
+        ts = init_train_state(self.ppo_cfg, params)
+        n = obs.shape[0]
+        return RunnerCarry(
+            env_state=env_state, obs=obs, priv_obs=priv, ts=ts, rng=k_run,
+            cur_reward_sum=jnp.zeros((n,)), cur_ep_len=jnp.zeros((n,)),
+        )
+
+    def _make_iteration(self):
+        env, alg, cfg = self.env, self.alg, self.ppo_cfg
+        T = self.num_steps_per_env
+
+        def iteration(carry: RunnerCarry) -> tuple:
+            params = carry.ts.params  # rollout uses the iteration's starting params
+
+            def rollout_step(c, _):
+                env_state, obs, priv, rng, cur_rew, cur_len = c
+                rng, k_act = jax.random.split(rng)
+                action, logp, mu, sigma, value = alg.act(params, obs, priv, k_act)
+                env_state, obs2, priv2, rew, done, extras = env.step(env_state, action)
+                # timeout bootstrapping (reference dh_ppo.py:97-98)
+                rew_boot = rew + cfg.gamma * value * extras["time_outs"].astype(jnp.float32)
+                trans = Transition(obs=obs, critic_obs=priv, actions=action,
+                                   rewards=rew_boot, dones=done, values=value,
+                                   log_probs=logp, mu=mu, sigma=sigma)
+                cur_rew = cur_rew + rew
+                cur_len = cur_len + 1.0
+                stats = {
+                    "ep_reward_sum": jnp.sum(jnp.where(done, cur_rew, 0.0)),
+                    "ep_len_sum": jnp.sum(jnp.where(done, cur_len, 0.0)),
+                    "done_count": jnp.sum(done),
+                    "episode_sums_done": extras["episode_sums_done"],
+                    "max_command_x": extras["max_command_x"],
+                    "terrain_level_mean": extras.get("terrain_level_mean", jnp.zeros(())),
+                }
+                cur_rew = jnp.where(done, 0.0, cur_rew)
+                cur_len = jnp.where(done, 0.0, cur_len)
+                return (env_state, obs2, priv2, rng, cur_rew, cur_len), (trans, stats)
+
+            (env_state, obs, priv, rng, cur_rew, cur_len), (traj, stats) = jax.lax.scan(
+                rollout_step,
+                (carry.env_state, carry.obs, carry.priv_obs, carry.rng,
+                 carry.cur_reward_sum, carry.cur_ep_len),
+                None, length=T)
+            last_values = alg.value(carry.ts.params, priv)
+            returns, advantages = compute_gae(traj, last_values, cfg.gamma, cfg.lam,
+                                              axis_name=getattr(alg, "axis_name", None))
+            rng, k_up = jax.random.split(rng)
+            ts, metrics = alg.update(carry.ts, traj, returns, advantages, k_up)
+            metrics.update({
+                "mean_step_reward": jnp.mean(traj.rewards),
+                "mean_noise_std": jnp.mean(jnp.abs(ts.params["params"]["std"])),
+                "ep_reward_sum": jnp.sum(stats["ep_reward_sum"]),
+                "ep_len_sum": jnp.sum(stats["ep_len_sum"]),
+                "done_count": jnp.sum(stats["done_count"]),
+                "episode_sums_done": jnp.sum(stats["episode_sums_done"], axis=0),
+                "max_command_x": stats["max_command_x"][-1],
+                "terrain_level_mean": stats["terrain_level_mean"][-1],
+            })
+            new_carry = RunnerCarry(env_state=env_state, obs=obs, priv_obs=priv,
+                                    ts=ts, rng=rng, cur_reward_sum=cur_rew,
+                                    cur_ep_len=cur_len)
+            return new_carry, metrics
+
+        return iteration
+
+    # ------------------------------------------------------------------
+
+    def learn(self, num_iterations: int, carry: Optional[RunnerCarry] = None,
+              log_every: int = 10) -> RunnerCarry:
+        if carry is None:
+            carry = self.init_carry()
+        save_interval = self.train_cfg.runner.save_interval
+        n_envs = self.env.num_envs
+        samples_per_iter = n_envs * self.num_steps_per_env
+        done_total, ep_rew_total, ep_len_total = 0.0, 0.0, 0.0
+        t_start = time.time()
+        for it in range(num_iterations):
+            t0 = time.time()
+            carry, metrics = self._iter_fn(carry)
+            metrics = jax.tree.map(np.asarray, jax.device_get(metrics))
+            dt_iter = time.time() - t0
+            self.iteration_count += 1
+            done_total += float(metrics["done_count"])
+            ep_rew_total += float(metrics["ep_reward_sum"])
+            ep_len_total += float(metrics["ep_len_sum"])
+            mean_ep_rew = ep_rew_total / max(done_total, 1)
+            mean_ep_len = ep_len_total / max(done_total, 1)
+            fps = samples_per_iter / dt_iter
+            if self.log_dir:
+                self._log_csv(metrics, mean_ep_rew, mean_ep_len, fps)
+            if it % log_every == 0 or it == num_iterations - 1:
+                print(f"it {self.iteration_count:5d} | fps {fps:9.0f} | "
+                      f"rew/step {float(metrics['mean_step_reward']):7.4f} | "
+                      f"ep_rew {mean_ep_rew:8.2f} | ep_len {mean_ep_len:7.1f} | "
+                      f"vloss {float(metrics['value_loss']):.4f} | "
+                      f"sloss {float(metrics['surrogate_loss']):+.4f} | "
+                      f"esloss {float(metrics['estimator_loss']):.4f} | "
+                      f"kl {float(metrics['kl']):.4f} | lr {float(metrics['lr']):.2e}",
+                      flush=True)
+            if self.log_dir and save_interval and (self.iteration_count % save_interval == 0):
+                self.save(carry)
+        wall = time.time() - t_start
+        print(f"learn done: {num_iterations} iterations, "
+              f"{num_iterations * samples_per_iter / max(wall, 1e-9):,.0f} env-steps/s avg",
+              flush=True)
+        return carry
+
+    # ------------------------------------------------------------------
+
+    def _log_csv(self, metrics, mean_ep_rew, mean_ep_len, fps):
+        path = os.path.join(self.log_dir, "metrics.csv")
+        first = not os.path.exists(path)
+        os.makedirs(self.log_dir, exist_ok=True)
+        row = {
+            "iteration": self.iteration_count, "fps": fps,
+            "mean_step_reward": float(metrics["mean_step_reward"]),
+            "mean_episode_reward": mean_ep_rew,
+            "mean_episode_length": mean_ep_len,
+            "value_loss": float(metrics["value_loss"]),
+            "surrogate_loss": float(metrics["surrogate_loss"]),
+            "estimator_loss": float(metrics["estimator_loss"]),
+            "kl": float(metrics["kl"]), "lr": float(metrics["lr"]),
+            "max_command_x": float(metrics["max_command_x"]),
+            "terrain_level": float(metrics["terrain_level_mean"]),
+        }
+        n_done = max(float(metrics["done_count"]), 1.0)
+        for i, name in enumerate(getattr(self.env, "reward_names", ())):
+            row[f"rew_{name}"] = float(np.asarray(metrics["episode_sums_done"])[i]) / n_done
+        with open(path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row))
+            if first:
+                w.writeheader()
+            w.writerow(row)
+
+    # --- checkpointing (orbax; reference torch.save dict :293-308) ----
+
+    def save(self, carry: RunnerCarry, path: Optional[str] = None):
+        import orbax.checkpoint as ocp
+
+        path = path or os.path.join(self.log_dir, f"model_{self.iteration_count}")
+        path = os.path.abspath(path)
+        ckptr = ocp.StandardCheckpointer()
+        payload = {
+            "params": carry.ts.params,
+            "opt_state": carry.ts.opt_state,
+            "lr": carry.ts.lr,
+            "iteration": jnp.asarray(self.iteration_count),
+            # full env state: curriculum levels, command ranges, RNG — resume
+            # is bit-exact, which the reference could not do (SURVEY §5.4)
+            "env_state": carry.env_state,
+            "rng": carry.rng,
+        }
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def load(self, path: str, carry: Optional[RunnerCarry] = None,
+             load_optimizer: bool = True) -> RunnerCarry:
+        import orbax.checkpoint as ocp
+
+        if carry is None:
+            carry = self.init_carry()
+        ckptr = ocp.StandardCheckpointer()
+        template = {
+            "params": carry.ts.params, "opt_state": carry.ts.opt_state,
+            "lr": carry.ts.lr, "iteration": jnp.zeros((), jnp.int32),
+            "env_state": carry.env_state, "rng": carry.rng,
+        }
+        restored = ckptr.restore(os.path.abspath(path), template)
+        ts = carry.ts.replace(params=restored["params"], lr=restored["lr"])
+        if load_optimizer:
+            ts = ts.replace(opt_state=restored["opt_state"])
+        self.iteration_count = int(restored["iteration"])
+        return carry._replace(ts=ts, env_state=restored["env_state"], rng=restored["rng"])
+
+    # ------------------------------------------------------------------
+
+    def get_inference_policy(self, params):
+        """Deterministic policy (action mean), like the reference's
+        ``act_inference`` (``dh_on_policy_runner.py:325-331``)."""
+
+        @jax.jit
+        def policy(obs):
+            return self.network.apply(params, obs, method="act_mean")
+
+        return policy
+
+
+class DHOnPolicyRunner(OnPolicyRunner):
+    """Named alias for registry parity with the reference."""

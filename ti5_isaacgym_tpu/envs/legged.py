@@ -179,14 +179,19 @@ def terrain_curriculum_update(cfg: T1EnvCfg, key, done, base_xy, env_origin,
 
 
 def command_curriculum_update(cfg: T1EnvCfg, done, common_step, episode_sums_tracking,
-                              cmd_vx_range, max_episode_length: float, tracking_scale_dt: float):
+                              cmd_vx_range, max_episode_length: float,
+                              tracking_scale_dt: float, axis_name=None):
     """Widen lin_vel_x when tracking reward > 80% of max — evaluated only when
     ``common_step % max_episode_length == 0`` (reference ``legged_robot.py:537,
     1160-1169``)."""
     if not cfg.commands.curriculum:
         return cmd_vx_range
     n_done = jnp.sum(done)
-    mean_track = jnp.sum(jnp.where(done, episode_sums_tracking, 0.0)) / jnp.maximum(n_done, 1)
+    track_sum = jnp.sum(jnp.where(done, episode_sums_tracking, 0.0))
+    if axis_name is not None:
+        n_done = jax.lax.psum(n_done, axis_name)
+        track_sum = jax.lax.psum(track_sum, axis_name)
+    mean_track = track_sum / jnp.maximum(n_done, 1)
     trigger = ((common_step % jnp.int32(max_episode_length)) == 0) & (n_done > 0)
     improve = (mean_track / max_episode_length) > (0.8 * tracking_scale_dt)
     mc = cfg.commands.max_curriculum

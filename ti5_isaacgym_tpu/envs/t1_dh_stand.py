@@ -66,6 +66,8 @@ class T1DHStandEnv:
 
     def __init__(self, cfg: T1EnvCfg, model: Optional[RobotModel] = None,
                  terrain: Optional[Terrain] = None, seed: int = 0):
+        # set by the parallel trainer when envs are sharded across a mesh
+        self.axis_name = None
         self.cfg = cfg
         self.model = model if model is not None else load_t1()
         self.num_envs = cfg.env.num_envs
@@ -280,12 +282,13 @@ class T1DHStandEnv:
         (reference ``generate_gait_time``: durations scaled to the episode,
         shifted, cumsum -> boundary step indices)."""
         cfg = self.cfg.commands
+        n = state.gait_time.shape[0]
         ngait = len(cfg.gait)
         ranges = jnp.asarray(cfg.gait_time_range, jnp.float32)   # (ngait, 2)
-        r = jax.random.uniform(key, (self.num_envs, ngait),
+        r = jax.random.uniform(key, (n, ngait),
                                minval=ranges[:, 0], maxval=ranges[:, 1])
         scaled = r * (self.max_episode_length / jnp.sum(r, axis=1, keepdims=True))
-        shifted = jnp.concatenate([jnp.zeros((self.num_envs, 1)), scaled[:, :-1]], axis=1)
+        shifted = jnp.concatenate([jnp.zeros((n, 1)), scaled[:, :-1]], axis=1)
         gait_time = jnp.cumsum(shifted, axis=1).astype(jnp.int32)
         return state.replace(gait_time=jnp.where(mask[:, None], gait_time, state.gait_time))
 
@@ -294,32 +297,33 @@ class T1DHStandEnv:
         resample per the segment's gait type (reference ``_resample_commands``
         + the per-gait ``_resample_*_command`` family)."""
         cfg = self.cfg.commands
+        n = state.commands.shape[0]
         cmds = state.commands
         keys = jax.random.split(key, len(cfg.gait))
         for i, name in enumerate(cfg.gait):
             mask = state.episode_length == state.gait_time[:, i]
             k1, k2, k3 = jax.random.split(keys[i], 3)
             if name == "stand":
-                new = jnp.zeros((self.num_envs, 3))
+                new = jnp.zeros((n, 3))
             elif name == "walk_sagittal":
-                vx = jax.random.uniform(k1, (self.num_envs,), minval=state.cmd_vx_range[0],
+                vx = jax.random.uniform(k1, (n,), minval=state.cmd_vx_range[0],
                                         maxval=state.cmd_vx_range[1])
-                new = jnp.stack([vx, jnp.zeros(self.num_envs), jnp.zeros(self.num_envs)], -1)
+                new = jnp.stack([vx, jnp.zeros(n), jnp.zeros(n)], -1)
             elif name == "walk_lateral":
-                vy = jax.random.uniform(k2, (self.num_envs,), minval=cfg.ranges.lin_vel_y[0],
+                vy = jax.random.uniform(k2, (n,), minval=cfg.ranges.lin_vel_y[0],
                                         maxval=cfg.ranges.lin_vel_y[1])
-                new = jnp.stack([jnp.zeros(self.num_envs), vy, jnp.zeros(self.num_envs)], -1)
+                new = jnp.stack([jnp.zeros(n), vy, jnp.zeros(n)], -1)
             elif name == "rotate":
-                wz = jax.random.uniform(k3, (self.num_envs,), minval=cfg.ranges.ang_vel_yaw[0],
+                wz = jax.random.uniform(k3, (n,), minval=cfg.ranges.ang_vel_yaw[0],
                                         maxval=cfg.ranges.ang_vel_yaw[1])
-                new = jnp.stack([jnp.zeros(self.num_envs), jnp.zeros(self.num_envs), wz], -1)
+                new = jnp.stack([jnp.zeros(n), jnp.zeros(n), wz], -1)
             else:  # walk_omnidirectional
-                vx = jax.random.uniform(k1, (self.num_envs,), minval=state.cmd_vx_range[0],
+                vx = jax.random.uniform(k1, (n,), minval=state.cmd_vx_range[0],
                                         maxval=state.cmd_vx_range[1])
-                vy = jax.random.uniform(k2, (self.num_envs,),
+                vy = jax.random.uniform(k2, (n,),
                                         minval=cfg.ranges.lin_vel_y[0],
                                         maxval=cfg.ranges.lin_vel_y[1])
-                wz = jax.random.uniform(k3, (self.num_envs,),
+                wz = jax.random.uniform(k3, (n,),
                                         minval=cfg.ranges.ang_vel_yaw[0],
                                         maxval=cfg.ranges.ang_vel_yaw[1])
                 new = jnp.stack([vx, vy, wz], -1)
@@ -333,7 +337,7 @@ class T1DHStandEnv:
     def _events(self, state: EnvState, key) -> EnvState:
         dr = self.cfg.domain_rand
         k_push1, k_push2, kf1, kf2, kf3, kt = jax.random.split(key, 6)
-        n = self.num_envs
+        n = state.commands.shape[0]
         if dr.push_robots:
             i = jnp.minimum(state.common_step // dr.update_step, len(dr.push_duration) - 1)
             duration = jnp.asarray(dr.push_duration)[i] / self.dt
@@ -455,8 +459,9 @@ class T1DHStandEnv:
         feet_quat = sp.mat_to_quat(feet_rot)
         base_euler = sp.quat_to_euler_xyz(state.phys.base_quat)
         grav = jnp.asarray([0.0, 0.0, -1.0])
+        n = state.phys.base_pos.shape[0]
         proj_grav = sp.quat_rotate_inverse(state.phys.base_quat,
-                                           jnp.broadcast_to(grav, (self.num_envs, 3)))
+                                           jnp.broadcast_to(grav, (n, 3)))
         return StepCtx(
             frames_pos=frames.pos, frames_rot=frames.rot,
             base_lin_vel=state.phys.base_vel[:, 3:],
@@ -535,7 +540,7 @@ class T1DHStandEnv:
     def _compute_rewards(self, state: EnvState, ctx: StepCtx):
         cfg = self.cfg
         R = cfg.rewards
-        n = self.num_envs
+        n = state.phys.qpos.shape[0]
         q = state.phys.qpos
         dq = state.phys.qvel
         cmds = state.commands
@@ -728,7 +733,7 @@ class T1DHStandEnv:
         cfg = self.cfg
         dr = cfg.domain_rand
         os_ = cfg.normalization.obs_scales
-        n = self.num_envs
+        n = state.phys.qpos.shape[0]
         q, dq = state.phys.qpos, state.phys.qvel
 
         phase = self._phase(state, state.phase_length)
@@ -816,7 +821,7 @@ class T1DHStandEnv:
 
     def _reset_idx(self, state: EnvState, done: jnp.ndarray, key, force_all: bool = False) -> EnvState:
         cfg = self.cfg
-        n, na = self.num_envs, self.num_actions
+        n, na = done.shape[0], self.num_actions
         m1 = done[:, None]
         ks = jax.random.split(key, 10)
 
@@ -835,7 +840,8 @@ class T1DHStandEnv:
                 new_range = legged.command_curriculum_update(
                     cfg, done, state.common_step, state.episode_sums[:, t_idx],
                     state.cmd_vx_range, float(self.max_episode_length),
-                    self.reward_scales_dt["tracking_lin_vel"])
+                    self.reward_scales_dt["tracking_lin_vel"],
+                    axis_name=self.axis_name)
                 state = state.replace(cmd_vx_range=new_range)
             except ValueError:
                 pass
@@ -908,6 +914,7 @@ class T1DHStandEnv:
             "done_count": n_done,
             # per-term mean episode reward over done envs, per second
             "episode_sums_done": sums_done / self.max_episode_length_s,
+            "episode_length_sum": jnp.sum(jnp.where(done, state.episode_length, 0)),
             "max_command_x": state.cmd_vx_range[1],
         }
         if self.custom_origins:

@@ -1,0 +1,1 @@
+from . import mjcf, policy  # noqa: F401

@@ -1,0 +1,142 @@
+"""Multi-chip data-parallel training over a `jax.sharding.Mesh`.
+
+The distributed backend the reference never implemented (its ``--horovod``
+flag is parsed but dead, reference ``humanoid/utils/helpers.py:179-182``;
+SURVEY.md §2.3/§5.8 make this a first-class requirement here):
+
+* environments (and every ``[num_envs, ...]`` state array) are sharded along
+  a 1-D ``data`` mesh axis;
+* the policy/optimizer state is replicated;
+* gradients, the adaptive-KL statistic, and advantage moments are reduced
+  with ``psum``/``pmean`` over ICI inside the jitted iteration — XLA emits
+  the collectives, no NCCL/MPI anywhere;
+* per-shard PRNG streams come from folding the shard index into the carried
+  key, so behaviour is reproducible at any device count.
+
+Multi-host use: call :func:`distributed_init` first (wraps
+``jax.distributed.initialize``), then build the mesh over all devices —
+the same code path scales from 1 chip to a pod slice.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+AXIS = "data"
+
+
+def distributed_init(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host bring-up (single-program multi-host JAX)."""
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(coordinator_address=coordinator, num_processes=num_processes,
+                      process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    if devices is None:
+        try:
+            devices = jax.devices("cpu") if n_devices and n_devices > len(jax.devices()) \
+                else jax.devices()
+        except RuntimeError:
+            devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (AXIS,))
+
+
+# env-state fields that are shared scalars/globals, not per-env arrays
+_REPLICATED_ENV_FIELDS = ("common_step", "cmd_vx_range", "is_first_push",
+                          "is_first_add_force", "rng")
+# carry fields that are replicated wholesale (network/optimizer state, key)
+_REPLICATED_CARRY_FIELDS = ("ts", "rng")
+
+
+def carry_specs(carry, num_envs: int):
+    """Structural sharding specs: env-batched state on the data axis,
+    training state and global scalars replicated.  Decided by *field path*,
+    never by shape (a parameter whose leading dim happens to equal num_envs
+    must not be sharded)."""
+
+    def spec(path, leaf):
+        keys = [getattr(p, "name", getattr(p, "key", None)) for p in path]
+        if keys and keys[0] in _REPLICATED_CARRY_FIELDS:
+            return P()
+        if any(k in _REPLICATED_ENV_FIELDS for k in keys if k):
+            return P()
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1:
+            return P(AXIS)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, carry)
+
+
+class ShardedRunner:
+    """Wraps an :class:`~ti5_isaacgym_tpu.algo.runner.OnPolicyRunner` so its
+    jitted iteration runs under ``shard_map`` on a device mesh."""
+
+    def __init__(self, runner, mesh: Mesh):
+        from jax import shard_map
+
+        self.runner = runner
+        self.mesh = mesh
+        self.n_shards = mesh.devices.size
+        runner.alg.axis_name = AXIS          # turns on psum in the update
+        runner.env.axis_name = AXIS          # turns on psum in env curricula
+        base_iteration = runner._make_iteration()
+
+        num_envs = runner.env.num_envs
+        assert num_envs % self.n_shards == 0, (num_envs, self.n_shards)
+
+        def sharded_iteration(carry):
+            # distinct per-shard RNG stream from the replicated key
+            idx = jax.lax.axis_index(AXIS)
+            local = carry._replace(rng=jax.random.fold_in(carry.rng, idx))
+            new_carry, metrics = base_iteration(local)
+            # carry.rng must come back replicated
+            new_carry = new_carry._replace(rng=jax.random.split(carry.rng)[0])
+            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, AXIS), metrics)
+            return new_carry, metrics
+
+        self._sharded_iteration = sharded_iteration
+        self._iter_fn = None
+
+    def compile_for(self, carry):
+        from jax import shard_map
+
+        in_specs = (carry_specs(carry, self.runner.env.num_envs),)
+        out_specs = (in_specs[0], P())
+        fn = shard_map(self._sharded_iteration, mesh=self.mesh,
+                       in_specs=in_specs, out_specs=out_specs)
+        self._iter_fn = jax.jit(fn)
+        return self._iter_fn
+
+    def init_carry(self):
+        """Initialize outside shard_map: collectives must be off for the
+        (unsharded) reset path, then re-enabled for the sharded iteration."""
+        r = self.runner
+        r.env.axis_name = None
+        r.alg.axis_name = None
+        try:
+            carry = r.init_carry()
+        finally:
+            r.env.axis_name = AXIS
+            r.alg.axis_name = AXIS
+        return carry
+
+    def learn(self, num_iterations: int, carry=None, log_every: int = 10):
+        r = self.runner
+        if carry is None:
+            carry = self.init_carry()
+        if self._iter_fn is None:
+            self.compile_for(carry)
+        r._iter_fn = self._iter_fn
+        return r.learn(num_iterations, carry=carry, log_every=log_every)

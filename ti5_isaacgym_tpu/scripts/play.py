@@ -1,0 +1,132 @@
+"""Policy evaluation / deployment preview (reference ``humanoid/scripts/play.py``).
+
+Runs a trained policy in a small eval-configured env batch, logs the
+reference's diagnostic state panels + per-episode reward decomposition, and
+can export the state trajectory for MuJoCo visualization or sim2sim checks.
+
+    python -m ti5_isaacgym_tpu.scripts.play --task t1_dh_stand \\
+        [--load_run -1] [--checkpoint -1] [--steps 1000] [--fix_command]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+
+def get_play_args(argv=None):
+    p = argparse.ArgumentParser("ti5 play")
+    p.add_argument("--task", type=str, default="t1_dh_stand")
+    p.add_argument("--num_envs", type=int, default=9)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--load_run", type=str, default=None)
+    p.add_argument("--checkpoint", type=int, default=None)
+    p.add_argument("--log_root", type=str, default=None)
+    p.add_argument("--fix_command", action="store_true",
+                   help="drive a fixed forward command instead of the schedule")
+    p.add_argument("--command", type=float, nargs=3, default=[0.4, 0.0, 0.0])
+    p.add_argument("--export_traj", type=str, default=None,
+                   help="write the robot-0 qpos trajectory to this .npz")
+    p.add_argument("--out_dir", type=str, default="eval_out")
+    p.add_argument("--random_policy", action="store_true",
+                   help="skip checkpoint loading (smoke-testing)")
+    return p.parse_args(argv)
+
+
+def play(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.logger import Logger
+    from ..utils.registry import LEGGED_GYM_ROOT, resolve_load_path, task_registry
+
+    env_cfg, train_cfg = task_registry.get_cfgs(args.task)
+    # eval-time overrides (reference play.py:66-110): few envs, no pushes,
+    # no external forces, keep lag + noise for realism
+    env_cfg = dataclasses.replace(
+        env_cfg,
+        env=dataclasses.replace(env_cfg.env, num_envs=args.num_envs,
+                                episode_length_s=1000.0),
+        terrain=dataclasses.replace(env_cfg.terrain, num_rows=3, num_cols=3,
+                                    curriculum=False, border_size=5.0),
+        domain_rand=dataclasses.replace(env_cfg.domain_rand, push_robots=False,
+                                        add_ext_force=False),
+    )
+    env_class = task_registry._get(args.task)[0]
+    env = env_class(env_cfg, seed=train_cfg.seed)
+
+    from ..algo.runner import OnPolicyRunner
+
+    runner = OnPolicyRunner(env, env_cfg, train_cfg, log_dir=None)
+    carry = runner.init_carry()
+    if not args.random_policy:
+        root = args.log_root or os.path.join(LEGGED_GYM_ROOT, "logs",
+                                             train_cfg.runner.experiment_name)
+        path = resolve_load_path(root, args.load_run or -1, args.checkpoint or -1)
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint found under {root}")
+        print(f"loading {path}")
+        carry = runner.load(path, carry)
+    policy = runner.get_inference_policy(carry.ts.params)
+
+    logger = Logger(env.dt)
+    state, obs, priv = env.reset(carry.env_state)
+    step = jax.jit(env.step)
+    fixed_cmd = jnp.asarray(args.command, jnp.float32)
+    traj = []
+    for i in range(args.steps):
+        if args.fix_command:
+            cmds = state.commands.at[:, :3].set(fixed_cmd)
+            state = state.replace(commands=cmds,
+                                  gait_time=jnp.full_like(state.gait_time, 1 << 30))
+        actions = policy(obs)
+        state, obs, priv, rew, done, extras = step(state, actions)
+        robot = 0
+        logger.log_states({
+            "base_vel_x": state.phys.base_vel[robot, 3],
+            "base_vel_y": state.phys.base_vel[robot, 4],
+            "base_vel_z": state.phys.base_vel[robot, 5],
+            "base_vel_yaw": state.phys.base_vel[robot, 2],
+            "command_x": state.commands[robot, 0],
+            "command_y": state.commands[robot, 1],
+            "command_yaw": state.commands[robot, 2],
+            "base_height": state.phys.base_pos[robot, 2],
+            "contact_forces_z_l": state.contact_forces[robot, env.model.feet_bodies[0], 2],
+            "contact_forces_z_r": state.contact_forces[robot, env.model.feet_bodies[1], 2],
+            "dof_pos": state.phys.qpos[robot, 3],
+            "dof_pos_target": state.actions[robot, 3] * env.cfg.control.action_scale
+            + env.default_dof_pos[3],
+            "dof_vel": state.phys.qvel[robot, 3],
+            "dof_torque": state.torques[robot, 3],
+        })
+        n_done = float(extras["done_count"])
+        if n_done:
+            sums = np.asarray(extras["episode_sums_done"])
+            logger.log_rewards(
+                {f"rew_{n}": s / max(n_done, 1) for n, s in zip(env.reward_names, sums)},
+                int(n_done))
+        if args.export_traj:
+            traj.append(np.concatenate([
+                np.asarray(state.phys.base_pos[robot]),
+                np.asarray(state.phys.base_quat[robot]),
+                np.asarray(state.phys.qpos[robot])]))
+        if i % 200 == 0:
+            print(f"step {i}: base z {float(state.phys.base_pos[robot, 2]):.3f} "
+                  f"vx {float(state.phys.base_vel[robot, 3]):+.2f} "
+                  f"(cmd {float(state.commands[robot, 0]):+.2f})", flush=True)
+
+    logger.print_rewards()
+    logger.plot_states(args.out_dir)
+    if args.export_traj:
+        np.savez(args.export_traj, qpos=np.stack(traj), dt=env.dt)
+        print(f"wrote {args.export_traj}")
+
+
+def main(argv=None):
+    play(get_play_args(argv))
+
+
+if __name__ == "__main__":
+    main()

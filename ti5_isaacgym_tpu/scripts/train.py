@@ -1,0 +1,31 @@
+"""Training entry point (reference ``humanoid/scripts/train.py``).
+
+    python -m ti5_isaacgym_tpu.scripts.train --task t1_dh_stand --num_envs 4096
+"""
+from __future__ import annotations
+
+from ..utils.helpers import get_args, set_seed
+from ..utils.registry import task_registry
+from .record_config import record_config
+
+
+def train(args):
+    env, env_cfg = task_registry.make_env(args.task, args)
+    runner, train_cfg = task_registry.make_alg_runner(env, args.task, args,
+                                                      log_root=args.log_root)
+    set_seed(train_cfg.seed)
+    if runner.log_dir:
+        record_config(runner.log_dir, env_cfg, train_cfg)
+    carry = None
+    if getattr(runner, "_resume_path", None):
+        carry = runner.load(runner._resume_path)
+    n_iter = train_cfg.runner.max_iterations
+    runner.learn(n_iter, carry=carry, log_every=args.log_every)
+
+
+def main(argv=None):
+    train(get_args(argv))
+
+
+if __name__ == "__main__":
+    main()

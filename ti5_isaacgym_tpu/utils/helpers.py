@@ -1,0 +1,29 @@
+"""CLI argument parsing + seeding (reference ``humanoid/utils/helpers.py``)."""
+from __future__ import annotations
+
+import argparse
+import random
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser("ti5_isaacgym_tpu")
+    p.add_argument("--task", type=str, default="t1_dh_stand")
+    p.add_argument("--num_envs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--max_iterations", type=int, default=None)
+    p.add_argument("--resume", action="store_true", default=None)
+    p.add_argument("--experiment_name", type=str, default=None)
+    p.add_argument("--run_name", type=str, default=None)
+    p.add_argument("--load_run", type=str, default=None)
+    p.add_argument("--checkpoint", type=int, default=None)
+    p.add_argument("--headless", action="store_true", default=True)
+    p.add_argument("--log_root", type=str, default=None)
+    p.add_argument("--log_every", type=int, default=10)
+    return p.parse_args(argv)
+
+
+def set_seed(seed: int):
+    random.seed(seed)
+    np.random.seed(seed)
