@@ -1,0 +1,57 @@
+"""Golden cross-check: native C++ inference runtime vs the JAX network."""
+import os
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+NATIVE = os.path.join(ROOT, "native")
+BIN = os.path.join(NATIVE, "ti5_infer")
+
+
+@pytest.fixture(scope="module")
+def built():
+    r = subprocess.run(["make", "-C", NATIVE], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    return BIN
+
+
+def test_native_matches_jax(tmp_path, built):
+    from ti5_isaacgym_tpu.algo.networks import ActorCriticDH
+    from ti5_isaacgym_tpu.export.policy import export_npz
+
+    net = ActorCriticDH()
+    obs0 = jnp.zeros((1, 3102))
+    priv0 = jnp.zeros((1, 219))
+    params = net.init(jax.random.PRNGKey(42), obs0, priv0)
+    npz = export_npz(net, params, str(tmp_path))
+
+    obs = np.asarray(jax.random.normal(jax.random.PRNGKey(7), (4, 3102))) * 0.3
+    act_j, est_j = jax.device_get(net.apply(params, jnp.asarray(obs),
+                                            method="act_inference"))
+
+    obs_file = tmp_path / "obs.txt"
+    with open(obs_file, "w") as f:
+        for row in obs:
+            f.write(" ".join(f"{v:.8g}" for v in row) + "\n")
+    r = subprocess.run([built, npz, str(obs_file)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    got = np.array([[float(v) for v in line.split()] for line in r.stdout.strip().splitlines()])
+    assert got.shape == (4, 15)
+    np.testing.assert_allclose(got[:, :12], act_j, atol=2e-4,
+                               err_msg="action mean mismatch")
+    np.testing.assert_allclose(got[:, 12:], est_j, atol=2e-4,
+                               err_msg="estimated velocity mismatch")
+
+
+def test_native_error_paths(tmp_path, built):
+    r = subprocess.run([built, "/nonexistent.npz", "--selftest"],
+                       capture_output=True, text=True)
+    assert r.returncode == 1 and "cannot open" in r.stderr
+    bad = tmp_path / "bad.npz"
+    bad.write_bytes(b"not a zip at all")
+    r = subprocess.run([built, str(bad), "--selftest"], capture_output=True, text=True)
+    assert r.returncode == 1
