@@ -486,13 +486,15 @@ class T1DHStandEnv:
         )
 
         # T1 callback: phase counter, gait-time command resampling, events
-        # (reference t1_dh_stand_env.py:179-215)
-        phase_length = state.phase_length + 1
+        # (reference t1_dh_stand_env.py:179-215).  The stand-freeze of the
+        # phase counter uses the *post-resample* commands, matching the
+        # reference where _get_phase zeroes it on first use after the callback.
+        state = state.replace(phase_length=state.phase_length + 1)
+        state = self._resample_gait_commands(state, k_cmd)
         if cfg.commands.sw_switch:
             stand = self._stand_command(state.commands)
-            phase_length = jnp.where(stand, 0, phase_length)
-        state = state.replace(phase_length=phase_length)
-        state = self._resample_gait_commands(state, k_cmd)
+            state = state.replace(
+                phase_length=jnp.where(stand, 0, state.phase_length))
         state = self._events(state, k_ev)
 
         ctx = self._make_ctx(state)

@@ -8,16 +8,22 @@ dynamics of a floating-base kinematic tree with single-axis revolute joints.
 Design notes (TPU-first):
   * fixed topology -> the per-body recursions unroll at trace time (13 bodies
     for T1); every op is batched over envs by ``vmap``, so each unrolled step
-    is a ``[num_envs, 6, 6]``-shaped fused VPU op — no dynamic control flow,
+    is a ``[num_envs, 3(,3)]``-shaped fused VPU op — no dynamic control flow,
     no host round-trips, scan-compatible.
-  * the floating base is handled natively by the ABA inward pass ending in a
-    single 6x6 solve; revolute joints need only scalar divisions.
-  * gravity enters as an explicit per-body spatial force (exact), so no
-    fictitious base-acceleration bookkeeping is needed.
+  * **block form**: 6-D spatial quantities are carried as (angular, linear)
+    3-vector pairs and 6x6 operators as 3x3 blocks.  This keeps every op a
+    small elementwise/mul-add chain on the VPU — no MXU padding, no bf16
+    matmul precision loss, no `concatenate`/`transpose` materializations in
+    the hot loop (those break XLA fusion and dominate runtime for tiny
+    shapes).  Only the final 6x6 base solve assembles a matrix.
+  * gravity is handled by computing accelerations relative to free fall
+    (exact for a uniform field), keeping the large mg terms out of the
+    articulated-inertia accumulations — float32-critical since TPUs have no
+    f64.
   * per-env physical parameters (mass/CoM/inertia/armature) are *data*
     (:class:`DynamicsParams`), so domain randomization is a PRNG sample, not
-    a recompile (the reference randomizes them through actor property setters,
-    ``legged_robot.py:852-939``).
+    a recompile (the reference randomizes them through actor property
+    setters, ``legged_robot.py:852-939``).
 
 State convention: base orientation quaternion ``(w,x,y,z)``; base spatial
 velocity ``[omega_body(3), v_origin_body(3)]`` expressed in the base frame
@@ -33,6 +39,8 @@ from flax import struct
 
 from . import spatial as sp
 from .model import RobotModel
+
+cross = jnp.cross
 
 
 @struct.dataclass
@@ -61,9 +69,15 @@ def nominal_params(model: RobotModel) -> DynamicsParams:
 class BodyFrames(NamedTuple):
     """World pose & body-frame spatial velocity of every body (single env)."""
 
-    pos: jnp.ndarray    # (nb, 3) world position of body-frame origin
-    rot: jnp.ndarray    # (nb, 3, 3) world_from_body rotation
-    vel: jnp.ndarray    # (nb, 6) spatial velocity in body frame [w, v]
+    pos: jnp.ndarray      # (nb, 3) world position of body-frame origin
+    rot: jnp.ndarray      # (nb, 3, 3) world_from_body rotation
+    vel_ang: jnp.ndarray  # (nb, 3) angular velocity, body frame
+    vel_lin: jnp.ndarray  # (nb, 3) origin velocity, body frame
+
+    @property
+    def vel(self) -> jnp.ndarray:
+        """(nb, 6) Plücker [w, v] — convenience view for tests/analysis."""
+        return jnp.concatenate([self.vel_ang, self.vel_lin], axis=-1)
 
 
 def _rel_transforms(model: RobotModel, qpos: jnp.ndarray):
@@ -80,23 +94,21 @@ def fk(model: RobotModel, base_pos: jnp.ndarray, base_quat: jnp.ndarray,
     nb = model.nb
     pos = [base_pos]
     rot = [sp.quat_to_mat(base_quat)]
-    vel = [base_vel]
+    w = [base_vel[..., :3]]
+    v = [base_vel[..., 3:]]
     for i in range(1, nb):
         p = int(model.parent[i])
         rot.append(sp.mm(rot[p], R_pc[i]))
         pos.append(pos[p] + sp.mv(rot[p], p_pc[i]))
-        w_p, v_p = vel[p][..., :3], vel[p][..., 3:]
-        w_c = sp.mtv(R_pc[i], w_p) + model.joint_axis[i] * qvel[i - 1]
-        v_c = sp.mtv(R_pc[i], v_p + jnp.cross(w_p, p_pc[i]))
-        vel.append(jnp.concatenate([w_c, v_c], axis=-1))
-    return BodyFrames(pos=jnp.stack(pos), rot=jnp.stack(rot), vel=jnp.stack(vel))
+        w.append(sp.mtv(R_pc[i], w[p]) + model.joint_axis[i] * qvel[i - 1])
+        v.append(sp.mtv(R_pc[i], v[p] + cross(w[p], p_pc[i])))
+    return BodyFrames(pos=jnp.stack(pos), rot=jnp.stack(rot),
+                      vel_ang=jnp.stack(w), vel_lin=jnp.stack(v))
 
 
 def body_world_vel(frames: BodyFrames) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """World-frame (linvel, angvel) of each body-frame origin: (nb,3), (nb,3)."""
-    v = sp.mv(frames.rot, frames.vel[..., 3:])
-    w = sp.mv(frames.rot, frames.vel[..., :3])
-    return v, w
+    return sp.mv(frames.rot, frames.vel_lin), sp.mv(frames.rot, frames.vel_ang)
 
 
 def point_world(frames: BodyFrames, body: jnp.ndarray, p_local: jnp.ndarray):
@@ -105,12 +117,9 @@ def point_world(frames: BodyFrames, body: jnp.ndarray, p_local: jnp.ndarray):
     body: (np,) int32 body ids; p_local: (np, 3).  Returns (np,3), (np,3).
     """
     R = frames.rot[body]
-    x = frames.pos[body]
-    pw = x + sp.mv(R, p_local)
-    wv = frames.vel[body]
-    v_local = wv[..., 3:] + jnp.cross(wv[..., :3], p_local)
-    vw = sp.mv(R, v_local)
-    return pw, vw
+    pw = frames.pos[body] + sp.mv(R, p_local)
+    v_local = frames.vel_lin[body] + cross(frames.vel_ang[body], p_local)
+    return pw, sp.mv(R, v_local)
 
 
 def aba(
@@ -122,7 +131,7 @@ def aba(
     f_ext_world: Optional[jnp.ndarray] = None,
     gravity: float = -9.81,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Articulated-body forward dynamics for one environment.
+    """Articulated-body forward dynamics for one environment (block form).
 
     Args:
       frames: output of :func:`fk` at the current state.
@@ -138,70 +147,110 @@ def aba(
     """
     nb = model.nb
     dtype = frames.pos.dtype
-    I_sp = params.spatial_inertia()
     g = jnp.array([0.0, 0.0, gravity], dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
 
-    # Relative transforms from the already-computed world frames.
-    R_pc, p_pc, X = [None] * nb, [None] * nb, [None] * nb
+    # spatial inertia blocks about each body origin:
+    #   I = [[A, B], [B^T, m I]],  B = m c~,  A = I_com + m c~ c~^T
+    m_b = params.mass
+    c_sk = sp.skew(params.com)
+    IA_A = [params.inertia[i] + m_b[i] * sp.mm(c_sk[i], sp.transpose(c_sk[i]))
+            for i in range(nb)]
+    IA_B = [m_b[i] * c_sk[i] for i in range(nb)]
+    IA_D = [m_b[i] * eye3 for i in range(nb)]
+
+    # relative transforms from the already-computed world frames
+    R_pc, p_pc = [None] * nb, [None] * nb
     for i in range(1, nb):
         p = int(model.parent[i])
+        # R_pc = Rp^T Rc (parent_from_child), p_pc = Rp^T (xc - xp)
         R_pc[i] = sp.mm(sp.transpose(frames.rot[p]), frames.rot[i])
         p_pc[i] = sp.mtv(frames.rot[p], frames.pos[i] - frames.pos[p])
-        # motion transform parent->child coords: v_c = X v_p
-        X[i] = sp.xform(sp.transpose(R_pc[i]), p_pc[i])
 
-    # Pass 1 (outward): bias terms.  Gravity is handled by computing all
-    # accelerations relative to free fall (exactly equivalent for a uniform
-    # field) instead of as per-body forces — this keeps the large mg terms
-    # out of the pA/IA accumulations, which would otherwise lose ~3 decimal
-    # digits to cancellation in float32 (TPUs have no f64).
-    c_bias, pA, IA = [None] * nb, [None] * nb, [None] * nb
+    # Pass 1 (outward): velocity-product bias forces (+ external forces).
+    # pA = v x* (I v) - f_ext ;  v x* [n, f] = [w x n + v x f, w x f]
+    cb_a, cb_l = [None] * nb, [None] * nb    # bias accelerations c = v x vJ
+    pA_a, pA_l = [None] * nb, [None] * nb
     for i in range(nb):
-        v = frames.vel[i]
+        w, v = frames.vel_ang[i], frames.vel_lin[i]
         if i == 0:
-            c_bias[i] = jnp.zeros((6,), dtype)
+            cb_a[i] = jnp.zeros((3,), dtype)
+            cb_l[i] = jnp.zeros((3,), dtype)
         else:
-            vJ = jnp.concatenate([model.joint_axis[i] * qvel[i - 1], jnp.zeros((3,), dtype)])
-            c_bias[i] = sp.mv(sp.crm(v), vJ)
-        pA[i] = sp.mv(sp.crf(v), sp.mv(I_sp[i], v))
+            sj = model.joint_axis[i] * qvel[i - 1]
+            cb_a[i] = cross(w, sj)
+            cb_l[i] = cross(v, sj)
+        n_ = sp.mv(IA_A[i], w) + sp.mv(IA_B[i], v)          # I v (angular)
+        f_ = sp.mtv(IA_B[i], w) + m_b[i] * v                # I v (linear)
+        pA_a[i] = cross(w, n_) + cross(v, f_)
+        pA_l[i] = cross(w, f_)
         if f_ext_world is not None:
-            pA[i] = pA[i] - jnp.concatenate([
-                sp.mtv(frames.rot[i], f_ext_world[i, :3]),
-                sp.mtv(frames.rot[i], f_ext_world[i, 3:]),
-            ], axis=-1)
-        IA[i] = I_sp[i]
+            pA_a[i] = pA_a[i] - sp.mtv(frames.rot[i], f_ext_world[i, :3])
+            pA_l[i] = pA_l[i] - sp.mtv(frames.rot[i], f_ext_world[i, 3:])
 
     # Pass 2 (inward): articulated inertias.
-    U, d, u = [None] * nb, [None] * nb, [None] * nb
-    S = model.joint_axis  # angular part of the motion subspace; linear part 0
+    U_a, U_l, d_, u_ = [None] * nb, [None] * nb, [None] * nb, [None] * nb
+    S = model.joint_axis
     for i in range(nb - 1, 0, -1):
         p = int(model.parent[i])
-        Si = jnp.concatenate([S[i], jnp.zeros((3,), dtype)])
-        U[i] = sp.mv(IA[i], Si)
-        d[i] = jnp.sum(Si * U[i], axis=-1) + params.armature[i - 1]
-        u[i] = tau[i - 1] - jnp.sum(Si * pA[i], axis=-1)
-        Ia = IA[i] - U[i][..., :, None] * U[i][..., None, :] / d[i]
-        pa = pA[i] + sp.mv(Ia, c_bias[i]) + U[i] * (u[i] / d[i])
-        IA[p] = IA[p] + sp.mm(sp.transpose(X[i]), sp.mm(Ia, X[i]))
-        pA[p] = pA[p] + sp.mtv(X[i], pa)
+        s = S[i]
+        # U = IA S (S linear part zero) -> [A s, B^T s]
+        U_a[i] = sp.mv(IA_A[i], s)
+        U_l[i] = sp.mtv(IA_B[i], s)
+        d_[i] = jnp.sum(s * U_a[i], axis=-1) + params.armature[i - 1]
+        u_[i] = tau[i - 1] - jnp.sum(s * pA_a[i], axis=-1)
+        inv_d = 1.0 / d_[i]
+        # Ia = IA - U U^T / d (blockwise, symmetric)
+        Ia_A = IA_A[i] - inv_d * U_a[i][..., :, None] * U_a[i][..., None, :]
+        Ia_B = IA_B[i] - inv_d * U_a[i][..., :, None] * U_l[i][..., None, :]
+        Ia_D = IA_D[i] - inv_d * U_l[i][..., :, None] * U_l[i][..., None, :]
+        # pa = pA + Ia c + U u/d
+        ud = u_[i] * inv_d
+        pa_a = pA_a[i] + sp.mv(Ia_A, cb_a[i]) + sp.mv(Ia_B, cb_l[i]) + U_a[i] * ud
+        pa_l = pA_l[i] + sp.mtv(Ia_B, cb_a[i]) + sp.mv(Ia_D, cb_l[i]) + U_l[i] * ud
+        # transform to parent: with E = R_pc^T (child_from_parent) and the
+        # X built on (E, p): X^T f = [E^T n + p x (E^T f), E^T f]; E^T = R_pc
+        R, pp = R_pc[i], p_pc[i]
+        f_par = sp.mv(R, pa_l)
+        pA_a[p] = pA_a[p] + sp.mv(R, pa_a) + cross(pp, f_par)
+        pA_l[p] = pA_l[p] + f_par
+        # inertia to parent coords: rotate blocks by R then shift by p
+        # (derivation: Y = X^T Ia X with X = [[E,0],[-E p~,E]])
+        psk = sp.skew(pp)
+        RA = sp.mm(R, sp.mm(Ia_A, sp.transpose(R)))
+        RB = sp.mm(R, sp.mm(Ia_B, sp.transpose(R)))
+        RD = sp.mm(R, sp.mm(Ia_D, sp.transpose(R)))
+        pRD = sp.mm(psk, RD)
+        Y_B = RB + pRD
+        Y_A = RA - sp.mm(RB, psk) + sp.mm(psk, sp.transpose(RB)) - sp.mm(pRD, psk)
+        IA_A[p] = IA_A[p] + Y_A
+        IA_B[p] = IA_B[p] + Y_B
+        IA_D[p] = IA_D[p] + RD
 
-    # Base 6x6 solve (accelerations relative to free fall).
-    a = [None] * nb
-    a[0] = sp.cho_solve_psd(IA[0] + 1e-9 * jnp.eye(6, dtype=dtype), -pA[0])
+    # base 6x6 solve (assembled once per substep)
+    top = jnp.concatenate([IA_A[0], IA_B[0]], axis=-1)
+    bot = jnp.concatenate([sp.transpose(IA_B[0]), IA_D[0]], axis=-1)
+    M = jnp.concatenate([top, bot], axis=-2) + 1e-9 * jnp.eye(6, dtype=dtype)
+    rhs = -jnp.concatenate([pA_a[0], pA_l[0]], axis=-1)
+    a0 = sp.cho_solve_psd(M, rhs)
 
-    # Pass 3 (outward): joint accelerations (frame-invariant, so the
-    # free-fall-relative propagation yields the true qdd directly).
+    # Pass 3 (outward): joint accelerations (free-fall-relative propagation).
+    a_a, a_l = [None] * nb, [None] * nb
+    a_a[0], a_l[0] = a0[..., :3], a0[..., 3:]
     qdd = [None] * (nb - 1)
     for i in range(1, nb):
         p = int(model.parent[i])
-        Si = jnp.concatenate([S[i], jnp.zeros((3,), dtype)])
-        ai = sp.mv(X[i], a[p]) + c_bias[i]
-        qdd[i - 1] = (u[i] - jnp.sum(U[i] * ai, axis=-1)) / d[i]
-        a[i] = ai + Si * qdd[i - 1]
+        R, pp = R_pc[i], p_pc[i]
+        # X a_parent = [E w, E (v + w x p)], E = R^T
+        ai_a = sp.mtv(R, a_a[p]) + cb_a[i]
+        ai_l = sp.mtv(R, a_l[p] + cross(a_a[p], pp)) + cb_l[i]
+        qdd[i - 1] = (u_[i] - jnp.sum(U_a[i] * ai_a + U_l[i] * ai_l, axis=-1)) / d_[i]
+        a_a[i] = ai_a + S[i] * qdd[i - 1]
+        a_l[i] = ai_l
 
-    # Convert the base acceleration back to the true (gravity-included) frame.
-    a0 = a[0] + jnp.concatenate([jnp.zeros((3,), dtype), sp.mtv(frames.rot[0], g)], axis=-1)
-    return a0, jnp.stack(qdd, axis=-1)
+    # back to the true (gravity-included) frame: only the base is returned
+    a_base = jnp.concatenate([a_a[0], a_l[0] + sp.mtv(frames.rot[0], g)], axis=-1)
+    return a_base, jnp.stack(qdd, axis=-1)
 
 
 def integrate(
