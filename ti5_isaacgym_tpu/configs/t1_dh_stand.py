@@ -37,6 +37,13 @@ class EnvSection:
     def num_privileged_obs(self) -> int:
         return self.c_frame_stack * self.single_num_privileged_obs
 
+    # set by T1EnvCfg wiring when terrain.measure_heights is on
+    num_height_points: int = 0
+
+    @property
+    def priv_frame_dim(self) -> int:
+        return self.single_num_privileged_obs + self.num_height_points
+
     @property
     def num_short_obs(self) -> int:
         return self.short_frame_stack * self.num_single_obs

@@ -137,6 +137,10 @@ class T1DHStandEnv:
         self.push_interval = int(np.ceil(cfg.domain_rand.push_interval_s / self.dt))
         self.ext_force_interval = int(np.ceil(cfg.domain_rand.ext_force_interval_s / self.dt))
 
+        # privileged frame width: +num_height_points with measure_heights
+        self.priv_frame_dim = (cfg.env.single_num_privileged_obs
+                               + (cfg.terrain.num_height_points
+                                  if cfg.terrain.measure_heights else 0))
         # height-scan grid (reference _init_height_points, surface parity)
         gx, gy = np.meshgrid(np.asarray(cfg.terrain.measured_points_x),
                              np.asarray(cfg.terrain.measured_points_y), indexing="ij")
@@ -218,7 +222,7 @@ class T1DHStandEnv:
             ext_force_apply=jnp.zeros((n, 3)), ext_torque_apply=jnp.zeros((n, 3)),
             is_first_push=jnp.asarray(True), is_first_add_force=jnp.asarray(True),
             obs_hist=jnp.zeros((n, cfg.env.frame_stack, cfg.env.num_single_obs)),
-            critic_hist=jnp.zeros((n, cfg.env.c_frame_stack, cfg.env.single_num_privileged_obs)),
+            critic_hist=jnp.zeros((n, cfg.env.c_frame_stack, self.priv_frame_dim)),
             episode_sums=jnp.zeros((n, self.n_rewards)),
             reset_buf=jnp.zeros((n,), bool), time_out_buf=jnp.zeros((n,), bool),
         )
@@ -774,6 +778,12 @@ class T1DHStandEnv:
             stance_mask,                                      # 2
             contact_mask,                                     # 2
         ], -1)
+        if cfg.terrain.measure_heights:
+            # reference t1_dh_stand_env.py:466-468
+            heights = jnp.clip(
+                state.phys.base_pos[:, 2:3] - 0.5 - self.measured_heights(state),
+                -1.0, 1.0) * os_.height_measurements
+            priv_frame = jnp.concatenate([priv_frame, heights], -1)
 
         # actor frame — lagged sensors + uniform noise
         if dr.add_dof_lag:
