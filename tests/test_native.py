@@ -55,3 +55,18 @@ def test_native_error_paths(tmp_path, built):
     bad.write_bytes(b"not a zip at all")
     r = subprocess.run([built, str(bad), "--selftest"], capture_output=True, text=True)
     assert r.returncode == 1
+
+
+def test_onnx_emit_and_reparse(tmp_path):
+    from ti5_isaacgym_tpu.algo.networks import ActorCriticDH
+    from ti5_isaacgym_tpu.export.onnx import export_onnx_dh, parse_model_summary
+
+    net = ActorCriticDH()
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 3102)), jnp.zeros((1, 219)))
+    path = export_onnx_dh(jax.device_get(params), str(tmp_path / "p.onnx"))
+    s = parse_model_summary(path)
+    assert s["io"] == ["obs", "action_mean", "est_vel"]
+    assert s["opset"] == 11
+    # all Gemm weights present as initializers
+    assert any(n.startswith("actor_W") for n in s["initializers"])
+    assert any(n.startswith("lh_W") for n in s["initializers"])

@@ -404,11 +404,13 @@ class T1DHStandEnv:
         key, k_sub, k_post = jax.random.split(state.rng, 3)
         state = state.replace(rng=key)
 
-        # --- decimation loop: 10 physics substeps @ 1 kHz under lax.scan ---
-        vsub = jax.vmap(
-            lambda ph, pr, tau, fr, bf, bt: substep(
-                self.model, pr, self.heightfield, self.copts, self.sopts,
-                ph, tau, fr, self.cp_meff, bf, bt))
+        # --- decimation loop: 10 physics substeps @ 1 kHz under lax.scan;
+        # the scalarized engine core batches natively (no vmap) ---
+        from ..physics.engine_core import substep_batched
+
+        def vsub(ph, pr, tau, fr, bf, bt):
+            return substep_batched(self.model, pr, self.heightfield, self.copts,
+                                   self.sopts, ph, tau, fr, self.cp_meff, bf, bt)
         dr = cfg.domain_rand
 
         def sub_fn(carry, inp):

@@ -1,1 +1,1 @@
-from . import mjcf, policy  # noqa: F401
+from . import mjcf, onnx, policy  # noqa: F401

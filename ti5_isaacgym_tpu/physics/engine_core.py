@@ -1,0 +1,331 @@
+"""Scalarized (component-form) physics substep — the TPU hot loop.
+
+This is the production path of the engine: the entire 1 kHz substep
+(FK -> contact -> joint limits -> ABA -> semi-implicit Euler) expressed over
+per-component ``[num_envs]`` arrays (see :mod:`spatial3` for why: TPU tiles
+the trailing dims, so ``[N]``-shaped elementwise chains are the only layout
+that fills the vector lanes).  Model geometry (joint frames, axes, collision
+points) enters as trace-time Python constants, so XLA constant-folds the
+kinematic structure into the fused loops.
+
+The reference implementation with array-of-structures layout lives in
+:mod:`engine` / :mod:`dynamics` and doubles as the oracle: the equivalence
+test asserts both paths produce the same trajectories.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import spatial3 as s3
+from .contact import ContactOpts, HeightField
+from .engine import PhysicsState, SolverOpts
+from .model import RobotModel
+
+
+def _const_v3(arr) -> tuple:
+    a = np.asarray(arr, dtype=np.float32)
+    return (float(a[0]), float(a[1]), float(a[2]))
+
+
+def _const_m33(arr) -> tuple:
+    a = np.asarray(arr, dtype=np.float32)
+    return tuple(tuple(float(a[i, j]) for j in range(3)) for i in range(3))
+
+
+def substep_batched(
+    model: RobotModel,
+    params,                      # DynamicsParams with leading [N]
+    terrain: HeightField,
+    copts: ContactOpts,
+    sopts: SolverOpts,
+    state: PhysicsState,         # leading [N]
+    tau: jnp.ndarray,            # [N, 12]
+    friction: jnp.ndarray,       # [N]
+    cp_meff: jnp.ndarray,        # [ncp, 2]
+    base_force_w: Optional[jnp.ndarray] = None,   # [N, 3]
+    base_torque_w: Optional[jnp.ndarray] = None,  # [N, 3]
+) -> Tuple[PhysicsState, jnp.ndarray]:
+    nb = model.nb
+    nd = model.num_dof
+    ncp = int(model.cp_pos.shape[0])
+
+    # --- static model constants (folded by XLA) ---
+    parent = [int(p) for p in np.asarray(model.parent)]
+    axis_c = [_const_v3(np.asarray(model.joint_axis)[i]) for i in range(nb)]
+    jpos_c = [_const_v3(np.asarray(model.joint_pos)[i]) for i in range(nb)]
+    jrot_c = [_const_m33(np.asarray(model.joint_rot)[i]) for i in range(nb)]
+    jrot_identity = [bool(np.allclose(np.asarray(model.joint_rot)[i], np.eye(3)))
+                     for i in range(nb)]
+    cp_body = [int(b) for b in np.asarray(model.cp_body)]
+    cp_pos_c = [_const_v3(np.asarray(model.cp_pos)[k]) for k in range(ncp)]
+    dof_lower = [float(x) for x in np.asarray(model.dof_lower)]
+    dof_upper = [float(x) for x in np.asarray(model.dof_upper)]
+    dof_effort = [float(x) for x in np.asarray(model.dof_effort)]
+
+    # --- unpack state into components ---
+    bp = s3.v3_unstack(state.base_pos)
+    bq = s3.q_unstack(state.base_quat)
+    bw = s3.v3_unstack(state.base_vel[..., :3])
+    bv = s3.v3_unstack(state.base_vel[..., 3:])
+    qpos = [state.qpos[..., j] for j in range(nd)]
+    qvel = [state.qvel[..., j] for j in range(nd)]
+    tauj = [tau[..., j] for j in range(nd)]
+    mass = [params.mass[..., i] for i in range(nb)]
+    com = [s3.v3_unstack(params.com[..., i, :]) for i in range(nb)]
+    inert = [s3.m33_unstack(params.inertia[..., i, :, :]) for i in range(nb)]
+    arma = [params.armature[..., j] for j in range(nd)]
+
+    # --- FK (component form) ---
+    pos = [bp]
+    rot = [s3.q_to_m33(bq)]
+    w = [bw]
+    v = [bv]
+    R_pc = [None] * nb
+    for i in range(1, nb):
+        p = parent[i]
+        j = i - 1
+        qj = s3.q_from_axis_angle(axis_c[i], qpos[j])
+        Rj = s3.q_to_m33(qj)
+        Rpc = Rj if jrot_identity[i] else s3.m33_mm(jrot_c[i], Rj)
+        R_pc[i] = Rpc
+        rot.append(s3.m33_mm(rot[p], Rpc))
+        pos.append(s3.v3_add(pos[p], s3.m33_mv(rot[p], jpos_c[i])))
+        w.append(s3.v3_add(s3.m33_tmv(Rpc, w[p]), s3.v3_scale(axis_c[i], qvel[j])))
+        v.append(s3.m33_tmv(Rpc, s3.v3_add(v[p], s3.v3_cross(w[p], jpos_c[i]))))
+
+    # --- contact: all points' world kinematics, batched gathers ---
+    pw = []   # list of V3
+    vw = []
+    for k in range(ncp):
+        b = cp_body[k]
+        pl = cp_pos_c[k]
+        pw.append(s3.v3_add(pos[b], s3.m33_mv(rot[b], pl)))
+        vloc = s3.v3_add(v[b], s3.v3_cross(w[b], pl))
+        vw.append(s3.m33_mv(rot[b], vloc))
+
+    # heights + normals via one batched bilinear gather over [ncp, N]
+    px = jnp.stack([p[0] for p in pw])
+    py = jnp.stack([p[1] for p in pw])
+    pz = jnp.stack([p[2] for p in pw])
+
+    def sample(xs, ys):
+        u = (xs + terrain.offset) / terrain.hscale
+        vv = (ys + terrain.offset) / terrain.hscale
+        rows, cols = terrain.height.shape
+        i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, rows - 2)
+        j0 = jnp.clip(jnp.floor(vv).astype(jnp.int32), 0, cols - 2)
+        fu = jnp.clip(u - i0, 0.0, 1.0)
+        fv = jnp.clip(vv - j0, 0.0, 1.0)
+        h00 = terrain.height[i0, j0]
+        h10 = terrain.height[i0 + 1, j0]
+        h01 = terrain.height[i0, j0 + 1]
+        h11 = terrain.height[i0 + 1, j0 + 1]
+        return (h00 * (1 - fu) * (1 - fv) + h10 * fu * (1 - fv)
+                + h01 * (1 - fu) * fv + h11 * fu * fv)
+
+    h = sample(px, py)
+    eps = terrain.hscale * 0.5
+    dhdx = (sample(px + eps, py) - sample(px - eps, py)) / (2 * eps)
+    dhdy = (sample(px, py + eps) - sample(px, py - eps)) / (2 * eps)
+    n_norm = jnp.sqrt(dhdx * dhdx + dhdy * dhdy + 1.0)
+    nx, ny, nz = -dhdx / n_norm, -dhdy / n_norm, 1.0 / n_norm
+
+    gap = h - pz
+    depth = jnp.clip(gap * nz, 0.0, copts.max_depth)
+    active = gap > 0.0
+
+    # per-point contact force (implicit-rate normal + anchor-spring
+    # friction), vectorized over points with [ncp, N] component arrays
+    # (points ride the sublanes, envs the lanes)
+    vx = jnp.stack([vv[0] for vv in vw])
+    vy = jnp.stack([vv[1] for vv in vw])
+    vz = jnp.stack([vv[2] for vv in vw])
+    ax_ = jnp.moveaxis(state.cp_anchor[..., 0], -1, 0)   # [ncp, N]
+    ay_ = jnp.moveaxis(state.cp_anchor[..., 1], -1, 0)
+    az_ = jnp.moveaxis(state.cp_anchor[..., 2], -1, 0)
+    mn = jnp.asarray(np.asarray(cp_meff)[:, 0])[(...,) + (None,) * (px.ndim - 1)]
+    mt = jnp.asarray(np.asarray(cp_meff)[:, 1])[(...,) + (None,) * (px.ndim - 1)]
+    k_v = copts.kp * copts.dt + copts.kd
+    kt_v = copts.kt * copts.dt + copts.kdt
+    v_n = nx * vx + ny * vy + nz * vz
+    denom = 1.0 + copts.dt * k_v / mn
+    f_n = jnp.clip((copts.kp * depth - k_v * v_n) / denom,
+                   0.0, copts.max_force) * active
+    vtx, vty, vtz = vx - v_n * nx, vy - v_n * ny, vz - v_n * nz
+    dtx, dty, dtz = px - ax_, py - ay_, pz - az_
+    d_n = dtx * nx + dty * ny + dtz * nz
+    dtx, dty, dtz = dtx - d_n * nx, dty - d_n * ny, dtz - d_n * nz
+    denom_t = 1.0 + copts.dt * kt_v / mt
+    ftx = -(copts.kt * dtx + kt_v * vtx) / denom_t
+    fty = -(copts.kt * dty + kt_v * vty) / denom_t
+    ftz = -(copts.kt * dtz + kt_v * vtz) / denom_t
+    ft_mag = jnp.sqrt(ftx * ftx + fty * fty + ftz * ftz)
+    cone = friction * f_n
+    scale = jnp.where(ft_mag > cone, cone / (ft_mag + 1e-8), 1.0) * active
+    ftx, fty, ftz = ftx * scale, fty * scale, ftz * scale
+    fX = nx * f_n + ftx
+    fY = ny * f_n + fty
+    fZ = nz * f_n + ftz
+    sliding = (ft_mag > cone) & active
+    sx = px + ftx * denom_t / copts.kt
+    sy = py + fty * denom_t / copts.kt
+    sz = pz + ftz * denom_t / copts.kt
+    nax = jnp.where(active, jnp.where(sliding, sx, ax_), px)
+    nay = jnp.where(active, jnp.where(sliding, sy, ay_), py)
+    naz = jnp.where(active, jnp.where(sliding, sz, az_), pz)
+    f_pts = [(fX[k], fY[k], fZ[k]) for k in range(ncp)]
+    new_anchor = jnp.stack([
+        jnp.moveaxis(nax, 0, -1), jnp.moveaxis(nay, 0, -1),
+        jnp.moveaxis(naz, 0, -1)], axis=-1)           # [N, ncp, 3]
+
+    # per-body contact force/torque accumulation (world)
+    f_body = [s3.v3_zero_like(bp) for _ in range(nb)]
+    t_body = [s3.v3_zero_like(bp) for _ in range(nb)]
+    for k in range(ncp):
+        b = cp_body[k]
+        f_body[b] = s3.v3_add(f_body[b], f_pts[k])
+        arm = s3.v3_sub(pw[k], pos[b])
+        t_body[b] = s3.v3_add(t_body[b], s3.v3_cross(arm, f_pts[k]))
+
+    if base_force_w is not None:
+        f_body[0] = s3.v3_add(f_body[0], s3.v3_unstack(base_force_w))
+    if base_torque_w is not None:
+        t_body[0] = s3.v3_add(t_body[0], s3.v3_unstack(base_torque_w))
+
+    # --- joint-limit penalty + effort clamp ---
+    tau_t = []
+    for j in range(nd):
+        over = jnp.maximum(qpos[j] - dof_upper[j], 0.0)
+        under = jnp.maximum(dof_lower[j] - qpos[j], 0.0)
+        t_lim = -sopts.limit_kp * over + sopts.limit_kp * under
+        in_vio = (over > 0) | (under > 0)
+        t_lim = t_lim - jnp.where(in_vio, sopts.limit_kd * qvel[j], 0.0)
+        tau_t.append(jnp.clip(tauj[j], -dof_effort[j], dof_effort[j]) + t_lim)
+
+    # --- ABA (block/component form; gravity free-fall-relative) ---
+    IA_A, IA_B, IA_D = [None] * nb, [None] * nb, [None] * nb
+    for i in range(nb):
+        csk = s3.m33_skew(com[i])
+        IA_A[i] = s3.m33_add(inert[i], s3.m33_scale(s3.m33_mmt(csk, csk), mass[i]))
+        IA_B[i] = s3.m33_scale(csk, mass[i])
+        IA_D[i] = s3.m33_scale(s3.m33_identity_like(mass[i]), mass[i])
+
+    cb_a, cb_l = [None] * nb, [None] * nb
+    pA_a, pA_l = [None] * nb, [None] * nb
+    for i in range(nb):
+        wi, vi = w[i], v[i]
+        if i == 0:
+            cb_a[i] = s3.v3_zero_like(wi)
+            cb_l[i] = s3.v3_zero_like(wi)
+        else:
+            sj = s3.v3_scale(axis_c[i], qvel[i - 1])
+            cb_a[i] = s3.v3_cross(wi, sj)
+            cb_l[i] = s3.v3_cross(vi, sj)
+        n_ = s3.v3_add(s3.m33_mv(IA_A[i], wi), s3.m33_mv(IA_B[i], vi))
+        f_ = s3.v3_add(s3.m33_tmv(IA_B[i], wi), s3.v3_scale(vi, mass[i]))
+        pA_a[i] = s3.v3_add(s3.v3_cross(wi, n_), s3.v3_cross(vi, f_))
+        pA_l[i] = s3.v3_cross(wi, f_)
+        # external (contact) wrench, world -> body
+        pA_a[i] = s3.v3_sub(pA_a[i], s3.m33_tmv(rot[i], t_body[i]))
+        pA_l[i] = s3.v3_sub(pA_l[i], s3.m33_tmv(rot[i], f_body[i]))
+
+    U_a, U_l, d_, u_ = [None] * nb, [None] * nb, [None] * nb, [None] * nb
+    for i in range(nb - 1, 0, -1):
+        p = parent[i]
+        s = axis_c[i]
+        U_a[i] = s3.m33_mv(IA_A[i], s)
+        U_l[i] = s3.m33_tmv(IA_B[i], s)
+        d_[i] = s3.v3_dot(s, U_a[i]) + arma[i - 1]
+        u_[i] = tau_t[i - 1] - s3.v3_dot(s, pA_a[i])
+        inv_d = 1.0 / d_[i]
+        Ia_A = s3.m33_sub(IA_A[i], s3.m33_outer(U_a[i], U_a[i], inv_d))
+        Ia_B = s3.m33_sub(IA_B[i], s3.m33_outer(U_a[i], U_l[i], inv_d))
+        Ia_D = s3.m33_sub(IA_D[i], s3.m33_outer(U_l[i], U_l[i], inv_d))
+        ud = u_[i] * inv_d
+        pa_a = s3.v3_add(
+            s3.v3_add(pA_a[i], s3.m33_mv(Ia_A, cb_a[i])),
+            s3.v3_add(s3.m33_mv(Ia_B, cb_l[i]), s3.v3_scale(U_a[i], ud)))
+        pa_l = s3.v3_add(
+            s3.v3_add(pA_l[i], s3.m33_tmv(Ia_B, cb_a[i])),
+            s3.v3_add(s3.m33_mv(Ia_D, cb_l[i]), s3.v3_scale(U_l[i], ud)))
+        R = R_pc[i]
+        pp = jpos_c[i]
+        f_par = s3.m33_mv(R, pa_l)
+        pA_a[p] = s3.v3_add(pA_a[p],
+                            s3.v3_add(s3.m33_mv(R, pa_a), s3.v3_cross(pp, f_par)))
+        pA_l[p] = s3.v3_add(pA_l[p], f_par)
+        psk = s3.m33_skew(pp)
+        RA = s3.m33_mm(R, s3.m33_mmt(Ia_A, R))
+        RB = s3.m33_mm(R, s3.m33_mmt(Ia_B, R))
+        RD = s3.m33_mm(R, s3.m33_mmt(Ia_D, R))
+        pRD = s3.m33_mm(psk, RD)
+        Y_B = s3.m33_add(RB, pRD)
+        Y_A = s3.m33_add(
+            s3.m33_sub(RA, s3.m33_mm(RB, psk)),
+            s3.m33_sub(s3.m33_mm(psk, s3.m33_t(RB)), s3.m33_mm(pRD, psk)))
+        IA_A[p] = s3.m33_add(IA_A[p], Y_A)
+        IA_B[p] = s3.m33_add(IA_B[p], Y_B)
+        IA_D[p] = s3.m33_add(IA_D[p], RD)
+
+    # base 6x6 SPD solve, scalarized
+    A6 = [[None] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            A6[i][j] = IA_A[0][i][j]
+            A6[i][3 + j] = IA_B[0][i][j]
+            A6[3 + i][j] = IA_B[0][j][i]
+            A6[3 + i][3 + j] = IA_D[0][i][j]
+    for i in range(6):
+        A6[i][i] = A6[i][i] + 1e-9
+    rhs = [-pA_a[0][0], -pA_a[0][1], -pA_a[0][2], -pA_l[0][0], -pA_l[0][1], -pA_l[0][2]]
+    a0 = s3.chol6_solve(A6, rhs)
+    a_a = [None] * nb
+    a_l = [None] * nb
+    a_a[0] = (a0[0], a0[1], a0[2])
+    a_l[0] = (a0[3], a0[4], a0[5])
+
+    qdd = [None] * nd
+    for i in range(1, nb):
+        p = parent[i]
+        R = R_pc[i]
+        pp = jpos_c[i]
+        ai_a = s3.v3_add(s3.m33_tmv(R, a_a[p]), cb_a[i])
+        ai_l = s3.v3_add(
+            s3.m33_tmv(R, s3.v3_add(a_l[p], s3.v3_cross(a_a[p], pp))), cb_l[i])
+        qdd[i - 1] = (u_[i] - s3.v3_dot(U_a[i], ai_a) - s3.v3_dot(U_l[i], ai_l)) / d_[i]
+        a_a[i] = s3.v3_add(ai_a, s3.v3_scale(axis_c[i], qdd[i - 1]))
+        a_l[i] = ai_l
+
+    # gravity back in (base only) — uniform field trick
+    g_body = s3.m33_tmv(rot[0], (jnp.zeros_like(bp[0]), jnp.zeros_like(bp[0]),
+                                 jnp.full_like(bp[0], sopts.gravity)))
+    a_base_lin = s3.v3_add(a_l[0], g_body)
+
+    # --- semi-implicit Euler, component form ---
+    dt = sopts.dt
+    bw_n = s3.v3_add(bw, s3.v3_scale(a_a[0], dt))
+    bv_n = s3.v3_add(bv, s3.v3_scale(a_base_lin, dt))
+    qvel_n = [jnp.clip(qvel[j] + dt * qdd[j], -sopts.max_qvel, sopts.max_qvel)
+              for j in range(nd)]
+    qpos_n = [qpos[j] + dt * qvel_n[j] for j in range(nd)]
+    ang = s3.v3_norm(bw_n) + 1e-12
+    axis = s3.v3_scale(bw_n, 1.0 / ang)
+    dq = s3.q_from_axis_angle(axis, ang * dt)
+    bq_n = s3.q_normalize(s3.q_mul(bq, dq))
+    bp_n = s3.v3_add(bp, s3.v3_scale(s3.q_rotate(bq_n, bv_n), dt))
+
+    # --- repack ---
+    new_state = PhysicsState(
+        base_pos=s3.v3_stack(bp_n),
+        base_quat=s3.q_stack(bq_n),
+        base_vel=jnp.concatenate([s3.v3_stack(bw_n), s3.v3_stack(bv_n)], axis=-1),
+        qpos=jnp.stack(qpos_n, axis=-1),
+        qvel=jnp.stack(qvel_n, axis=-1),
+        cp_anchor=new_anchor,
+    )
+    body_forces = jnp.stack([s3.v3_stack(f) for f in f_body], axis=-2)  # [N, nb, 3]
+    return new_state, body_forces

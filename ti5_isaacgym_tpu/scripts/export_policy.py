@@ -50,6 +50,11 @@ def main(argv=None):
     print("wrote", export_npz(network, params, args.out))
     print("wrote", export_stablehlo(network, params, args.out))
     print("wrote", export_controller_yaml(env_cfg, args.out))
+    if train_cfg.runner.policy_class_name == "ActorCriticDH":
+        from ..export.onnx import export_onnx_dh
+
+        onnx_path = os.path.join(args.out, "ti5_dh_policy.onnx")
+        print("wrote", export_onnx_dh(jax.device_get(params), onnx_path))
 
 
 if __name__ == "__main__":
