@@ -96,8 +96,10 @@ class OnPolicyRunner:
     def init_carry(self) -> RunnerCarry:
         key = jax.random.PRNGKey(self.seed)
         k_env, k_net, k_run = jax.random.split(key, 3)
-        env_state = self.env.init_state(k_env)
-        env_state, obs, priv = self.env.reset(env_state)
+        # jit the whole env bring-up: eager execution would round-trip the
+        # compiler for every op on remote-compile TPU backends
+        env_state, obs, priv = jax.jit(
+            lambda k: self.env.reset(self.env.init_state(k)))(k_env)
         params = self.network.init(k_net, obs[:1], priv[:1])
         ts = init_train_state(self.ppo_cfg, params)
         n = obs.shape[0]

@@ -197,6 +197,7 @@ class T1DHStandEnv:
         Li = cfg.domain_rand.imu_lag_timesteps_range[1] + 1
         state = EnvState(
             phys=phys, params=params, rng=ks[4],
+            terrain_height=self.heightfield.height,
             episode_length=jnp.zeros((n,), jnp.int32),
             phase_length=jnp.zeros((n,), jnp.int32),
             gait_start=jax.random.randint(ks[5], (n,), 0, 2).astype(jnp.float32) * 0.5,
@@ -408,8 +409,10 @@ class T1DHStandEnv:
         # the scalarized engine core batches natively (no vmap) ---
         from ..physics.engine_core import substep_batched
 
+        hf = self.heightfield.replace(height=state.terrain_height)
+
         def vsub(ph, pr, tau, fr, bf, bt):
-            return substep_batched(self.model, pr, self.heightfield, self.copts,
+            return substep_batched(self.model, pr, hf, self.copts,
                                    self.sopts, ph, tau, fr, self.cp_meff, bf, bt)
         dr = cfg.domain_rand
 
@@ -827,7 +830,8 @@ class T1DHStandEnv:
         pts = sp.quat_apply_yaw(
             state.phys.base_quat[:, None, :], self.height_points[None, :, :])
         pts = pts + state.phys.base_pos[:, None, :]
-        return sample_height_min3(self.heightfield, pts[..., :2])
+        hf = self.heightfield.replace(height=state.terrain_height)
+        return sample_height_min3(hf, pts[..., :2])
 
     # ------------------------------------------------------------------
     # masked reset (reference t1_dh_stand_env.py:483-559)

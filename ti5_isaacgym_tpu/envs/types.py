@@ -41,6 +41,10 @@ class EnvState:
     phys: PhysicsState                # batched physics state
     params: EnvParams
     rng: jnp.ndarray                  # PRNG key (single, split deterministically)
+    # terrain height map as a runtime argument rather than a trace-time
+    # closure constant: embedding the multi-MB array as an HLO constant
+    # inflates compile time enormously
+    terrain_height: jnp.ndarray       # [rows, cols] meters
 
     # episode machinery
     episode_length: jnp.ndarray       # [N] int32

@@ -21,13 +21,14 @@ class VecEnv:
         self.num_actions = env.cfg.env.num_actions
         self.max_episode_length = env.max_episode_length
         self._step = jax.jit(env.step)
-        self.state = env.init_state(jax.random.PRNGKey(seed))
+        self._reset = jax.jit(env.reset)
+        self.state = jax.jit(env.init_state)(jax.random.PRNGKey(seed))
         self._obs = None
         self._priv = None
         self.extras = {}
 
     def reset(self):
-        self.state, self._obs, self._priv = self.env.reset(self.state)
+        self.state, self._obs, self._priv = self._reset(self.state)
         return self._obs, self._priv
 
     def step(self, actions: jnp.ndarray):

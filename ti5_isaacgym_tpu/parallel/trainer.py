@@ -55,7 +55,7 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 
 # env-state fields that are shared scalars/globals, not per-env arrays
 _REPLICATED_ENV_FIELDS = ("common_step", "cmd_vx_range", "is_first_push",
-                          "is_first_add_force", "rng")
+                          "is_first_add_force", "rng", "terrain_height")
 # carry fields that are replicated wholesale (network/optimizer state, key)
 _REPLICATED_CARRY_FIELDS = ("ts", "rng")
 

@@ -72,7 +72,7 @@ def play(args):
     policy = runner.get_inference_policy(carry.ts.params)
 
     logger = Logger(env.dt)
-    state, obs, priv = env.reset(carry.env_state)
+    state, obs, priv = jax.jit(env.reset)(carry.env_state)
     step = jax.jit(env.step)
     fixed_cmd = jnp.asarray(args.command, jnp.float32)
     traj = []
