@@ -27,6 +27,10 @@ def main():
 
     import jax
 
+    from ti5_isaacgym_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
     from ti5_isaacgym_tpu.algo.runner import OnPolicyRunner
     from ti5_isaacgym_tpu.configs.t1_dh_stand import T1EnvCfg, T1TrainCfg
     from ti5_isaacgym_tpu.envs.t1_dh_stand import T1DHStandEnv

@@ -37,6 +37,10 @@ def get_play_args(argv=None):
 
 def play(args):
     import jax
+
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax()
     import jax.numpy as jnp
 
     from ..utils.logger import Logger

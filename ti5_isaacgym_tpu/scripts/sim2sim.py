@@ -43,6 +43,10 @@ def main(argv=None):
     import mujoco
 
     import jax
+
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax()
     import jax.numpy as jnp
 
     from ..algo.runner import build_network

@@ -10,6 +10,9 @@ from .record_config import record_config
 
 
 def train(args):
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax()
     env, env_cfg = task_registry.make_env(args.task, args)
     runner, train_cfg = task_registry.make_alg_runner(env, args.task, args,
                                                       log_root=args.log_root)
