@@ -191,10 +191,14 @@ def substep_batched(
         arm = s3.v3_sub(pw[k], pos[b])
         t_body[b] = s3.v3_add(t_body[b], s3.v3_cross(arm, f_pts[k]))
 
+    # the applied external wrench enters the dynamics but must NOT appear in
+    # the reported contact forces (PhysX net-contact-force semantics)
+    fx_body = list(f_body)
+    tx_body = list(t_body)
     if base_force_w is not None:
-        f_body[0] = s3.v3_add(f_body[0], s3.v3_unstack(base_force_w))
+        fx_body[0] = s3.v3_add(fx_body[0], s3.v3_unstack(base_force_w))
     if base_torque_w is not None:
-        t_body[0] = s3.v3_add(t_body[0], s3.v3_unstack(base_torque_w))
+        tx_body[0] = s3.v3_add(tx_body[0], s3.v3_unstack(base_torque_w))
 
     # --- joint-limit penalty + effort clamp ---
     tau_t = []
@@ -206,13 +210,18 @@ def substep_batched(
         t_lim = t_lim - jnp.where(in_vio, sopts.limit_kd * qvel[j], 0.0)
         tau_t.append(jnp.clip(tauj[j], -dof_effort[j], dof_effort[j]) + t_lim)
 
-    # --- ABA (block/component form; gravity free-fall-relative) ---
+    # --- ABA (block/component form; gravity free-fall-relative).
+    # The A and D blocks of the articulated inertia are symmetric and carried
+    # as 6-tuples; only the B block is a full 3x3. ---
     IA_A, IA_B, IA_D = [None] * nb, [None] * nb, [None] * nb
     for i in range(nb):
-        csk = s3.m33_skew(com[i])
-        IA_A[i] = s3.m33_add(inert[i], s3.m33_scale(s3.m33_mmt(csk, csk), mass[i]))
-        IA_B[i] = s3.m33_scale(csk, mass[i])
-        IA_D[i] = s3.m33_scale(s3.m33_identity_like(mass[i]), mass[i])
+        c = com[i]
+        cc = s3.v3_dot(c, c)
+        # m * (c~ c~^T) = m * ((c.c) I - c c^T), symmetric
+        sk = s3.sym_sub(s3.sym_identity_scaled(cc), s3.sym_outer(c))
+        IA_A[i] = s3.sym_add(s3.sym_from_m33(inert[i]), s3.sym_scale(sk, mass[i]))
+        IA_B[i] = s3.m33_scale(s3.m33_skew(c), mass[i])
+        IA_D[i] = s3.sym_identity_scaled(mass[i])
 
     cb_a, cb_l = [None] * nb, [None] * nb
     pA_a, pA_l = [None] * nb, [None] * nb
@@ -225,33 +234,33 @@ def substep_batched(
             sj = s3.v3_scale(axis_c[i], qvel[i - 1])
             cb_a[i] = s3.v3_cross(wi, sj)
             cb_l[i] = s3.v3_cross(vi, sj)
-        n_ = s3.v3_add(s3.m33_mv(IA_A[i], wi), s3.m33_mv(IA_B[i], vi))
+        n_ = s3.v3_add(s3.sym_mv(IA_A[i], wi), s3.m33_mv(IA_B[i], vi))
         f_ = s3.v3_add(s3.m33_tmv(IA_B[i], wi), s3.v3_scale(vi, mass[i]))
         pA_a[i] = s3.v3_add(s3.v3_cross(wi, n_), s3.v3_cross(vi, f_))
         pA_l[i] = s3.v3_cross(wi, f_)
-        # external (contact) wrench, world -> body
-        pA_a[i] = s3.v3_sub(pA_a[i], s3.m33_tmv(rot[i], t_body[i]))
-        pA_l[i] = s3.v3_sub(pA_l[i], s3.m33_tmv(rot[i], f_body[i]))
+        # external (contact + applied) wrench, world -> body
+        pA_a[i] = s3.v3_sub(pA_a[i], s3.m33_tmv(rot[i], tx_body[i]))
+        pA_l[i] = s3.v3_sub(pA_l[i], s3.m33_tmv(rot[i], fx_body[i]))
 
     U_a, U_l, d_, u_ = [None] * nb, [None] * nb, [None] * nb, [None] * nb
     for i in range(nb - 1, 0, -1):
         p = parent[i]
         s = axis_c[i]
-        U_a[i] = s3.m33_mv(IA_A[i], s)
+        U_a[i] = s3.sym_mv(IA_A[i], s)
         U_l[i] = s3.m33_tmv(IA_B[i], s)
         d_[i] = s3.v3_dot(s, U_a[i]) + arma[i - 1]
         u_[i] = tau_t[i - 1] - s3.v3_dot(s, pA_a[i])
         inv_d = 1.0 / d_[i]
-        Ia_A = s3.m33_sub(IA_A[i], s3.m33_outer(U_a[i], U_a[i], inv_d))
+        Ia_A = s3.sym_sub(IA_A[i], s3.sym_outer(U_a[i], inv_d))
         Ia_B = s3.m33_sub(IA_B[i], s3.m33_outer(U_a[i], U_l[i], inv_d))
-        Ia_D = s3.m33_sub(IA_D[i], s3.m33_outer(U_l[i], U_l[i], inv_d))
+        Ia_D = s3.sym_sub(IA_D[i], s3.sym_outer(U_l[i], inv_d))
         ud = u_[i] * inv_d
         pa_a = s3.v3_add(
-            s3.v3_add(pA_a[i], s3.m33_mv(Ia_A, cb_a[i])),
+            s3.v3_add(pA_a[i], s3.sym_mv(Ia_A, cb_a[i])),
             s3.v3_add(s3.m33_mv(Ia_B, cb_l[i]), s3.v3_scale(U_a[i], ud)))
         pa_l = s3.v3_add(
             s3.v3_add(pA_l[i], s3.m33_tmv(Ia_B, cb_a[i])),
-            s3.v3_add(s3.m33_mv(Ia_D, cb_l[i]), s3.v3_scale(U_l[i], ud)))
+            s3.v3_add(s3.sym_mv(Ia_D, cb_l[i]), s3.v3_scale(U_l[i], ud)))
         R = R_pc[i]
         pp = jpos_c[i]
         f_par = s3.m33_mv(R, pa_l)
@@ -259,26 +268,28 @@ def substep_batched(
                             s3.v3_add(s3.m33_mv(R, pa_a), s3.v3_cross(pp, f_par)))
         pA_l[p] = s3.v3_add(pA_l[p], f_par)
         psk = s3.m33_skew(pp)
-        RA = s3.m33_mm(R, s3.m33_mmt(Ia_A, R))
-        RB = s3.m33_mm(R, s3.m33_mmt(Ia_B, R))
-        RD = s3.m33_mm(R, s3.m33_mmt(Ia_D, R))
-        pRD = s3.m33_mm(psk, RD)
-        Y_B = s3.m33_add(RB, pRD)
-        Y_A = s3.m33_add(
-            s3.m33_sub(RA, s3.m33_mm(RB, psk)),
-            s3.m33_sub(s3.m33_mm(psk, s3.m33_t(RB)), s3.m33_mm(pRD, psk)))
-        IA_A[p] = s3.m33_add(IA_A[p], Y_A)
+        RA = s3.sym_congruence(R, Ia_A)                      # R Ia_A R^T (sym)
+        RB = s3.m33_mm(R, s3.m33_mmt(Ia_B, R))               # R Ia_B R^T (full)
+        RD = s3.sym_congruence(R, Ia_D)                      # R Ia_D R^T (sym)
+        # Y_A = RA - (RB p~ + (RB p~)^T) - p~ RD p~ ;  Y_B = RB + p~ RD
+        M = s3.m33_mm(RB, psk)
+        Y_A = s3.sym_sub(s3.sym_sub(RA, s3.sym2_of(M)),
+                         s3.sym_skew_congruence(pp, RD))
+        Y_B = s3.m33_add(RB, s3.m33_mm(psk, s3.sym_to_m33(RD)))
+        IA_A[p] = s3.sym_add(IA_A[p], Y_A)
         IA_B[p] = s3.m33_add(IA_B[p], Y_B)
-        IA_D[p] = s3.m33_add(IA_D[p], RD)
+        IA_D[p] = s3.sym_add(IA_D[p], RD)
 
     # base 6x6 SPD solve, scalarized
+    A_full = s3.sym_to_m33(IA_A[0])
+    D_full = s3.sym_to_m33(IA_D[0])
     A6 = [[None] * 6 for _ in range(6)]
     for i in range(3):
         for j in range(3):
-            A6[i][j] = IA_A[0][i][j]
+            A6[i][j] = A_full[i][j]
             A6[i][3 + j] = IA_B[0][i][j]
             A6[3 + i][j] = IA_B[0][j][i]
-            A6[3 + i][3 + j] = IA_D[0][i][j]
+            A6[3 + i][3 + j] = D_full[i][j]
     for i in range(6):
         A6[i][i] = A6[i][i] + 1e-9
     rhs = [-pA_a[0][0], -pA_a[0][1], -pA_a[0][2], -pA_l[0][0], -pA_l[0][1], -pA_l[0][2]]

@@ -256,3 +256,82 @@ def chol6_solve(A, b):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
     return x
+
+
+# ---------------------------------------------------------------------------
+# Symmetric 3x3 matrices as 6-tuples (s00, s01, s02, s11, s12, s22).
+# The articulated-body inertia blocks A and D are symmetric; carrying only
+# the upper triangle removes ~1/3 of the pass-2 arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def sym_from_m33(m):
+    return (m[0][0], m[0][1], m[0][2], m[1][1], m[1][2], m[2][2])
+
+
+def sym_to_m33(s):
+    return ((s[0], s[1], s[2]), (s[1], s[3], s[4]), (s[2], s[4], s[5]))
+
+
+def sym_add(a, b):
+    return tuple(a[i] + b[i] for i in range(6))
+
+
+def sym_sub(a, b):
+    return tuple(a[i] - b[i] for i in range(6))
+
+
+def sym_scale(a, s):
+    return tuple(a[i] * s for i in range(6))
+
+
+def sym_identity_scaled(s):
+    z = jnp.zeros_like(s)
+    return (s, z, z, s, z, s)
+
+
+def sym_mv(s, v):
+    return (
+        s[0] * v[0] + s[1] * v[1] + s[2] * v[2],
+        s[1] * v[0] + s[3] * v[1] + s[4] * v[2],
+        s[2] * v[0] + s[4] * v[1] + s[5] * v[2],
+    )
+
+
+def sym_outer(a, scale=None):
+    """a a^T as a sym (optionally scaled)."""
+    if scale is None:
+        return (a[0] * a[0], a[0] * a[1], a[0] * a[2],
+                a[1] * a[1], a[1] * a[2], a[2] * a[2])
+    return (a[0] * a[0] * scale, a[0] * a[1] * scale, a[0] * a[2] * scale,
+            a[1] * a[1] * scale, a[1] * a[2] * scale, a[2] * a[2] * scale)
+
+
+def sym_congruence(R, s):
+    """R S R^T as a sym (R a full M33, S a sym): computes T = R S then only
+    the upper triangle of T R^T."""
+    S = sym_to_m33(s)
+    T = m33_mm(R, S)
+    return (
+        v3_dot(T[0], R[0]), v3_dot(T[0], R[1]), v3_dot(T[0], R[2]),
+        v3_dot(T[1], R[1]), v3_dot(T[1], R[2]),
+        v3_dot(T[2], R[2]),
+    )
+
+
+def sym_skew_congruence(p, s):
+    """p~ S p~ as a sym (p a V3, S a sym).  Note p~^T = -p~, so
+    p~ S p~ = -(p~ S p~^T) and the result is symmetric up to sign; this
+    returns p~ S p~ directly (symmetric since S is)."""
+    P = m33_skew(p)
+    S = sym_to_m33(s)
+    T = m33_mm(P, S)
+    # (T P): column j of P has 2 nonzeros; take upper triangle
+    TP = m33_mm(T, P)
+    return sym_from_m33(TP)
+
+
+def sym2_of(m):
+    """M + M^T as a sym."""
+    return (2 * m[0][0], m[0][1] + m[1][0], m[0][2] + m[2][0],
+            2 * m[1][1], m[1][2] + m[2][1], 2 * m[2][2])
