@@ -88,3 +88,42 @@ def test_generators_shapes():
     t4 = G.SubTerrain(80, 80, 0.005, 0.1)
     G.discrete_obstacles(t4, 0.05, 1.0, 2.0, 20, platform_size=3.0)
     assert t4.height_field_raw[40, 40] == 0  # platform preserved
+
+
+def test_cell_cache_matches_bilinear_sample():
+    """Frozen-cell corners + analytic bilinear == the exact sampler
+    (within a cell), and the gradient matches finite differences of the
+    bilinear surface."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ti5_isaacgym_tpu.physics.contact import (
+        HeightField, CellCache, gather_contact_cells, packed_cell_corners,
+        sample_height)
+
+    rng = np.random.RandomState(0)
+    height = jnp.asarray(rng.rand(33, 41).astype(np.float32))
+    hf = HeightField(height=height, hscale=0.1, offset=0.5)
+
+    px = jnp.asarray(rng.uniform(0.0, 2.5, size=(5, 64)).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0.0, 3.0, size=(5, 64)).astype(np.float32))
+    cells = gather_contact_cells(hf, packed_cell_corners(height), px, py)
+
+    fu = (px - cells.x0) / hf.hscale
+    fv = (py - cells.y0) / hf.hscale
+    gu, gv = 1.0 - fu, 1.0 - fv
+    h_cell = (cells.h00 * gu * gv + cells.h10 * fu * gv
+              + cells.h01 * gu * fv + cells.h11 * fu * fv)
+    h_exact = sample_height(hf, jnp.stack([px, py], axis=-1))
+    np.testing.assert_allclose(np.asarray(h_cell), np.asarray(h_exact),
+                               rtol=0, atol=5e-6)
+
+    # analytic gradient vs FD of the frozen-cell surface
+    dhdx = ((cells.h10 - cells.h00) * gv + (cells.h11 - cells.h01) * fv) / hf.hscale
+    eps = 1e-3
+    fu_e = (px + eps - cells.x0) / hf.hscale
+    h_e = (cells.h00 * (1 - fu_e) * gv + cells.h10 * fu_e * gv
+           + cells.h01 * (1 - fu_e) * fv + cells.h11 * fu_e * fv)
+    np.testing.assert_allclose(np.asarray((h_e - h_cell) / eps),
+                               np.asarray(dhdx), rtol=1e-2, atol=1e-3)

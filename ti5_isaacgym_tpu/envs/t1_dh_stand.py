@@ -407,13 +407,27 @@ class T1DHStandEnv:
 
         # --- decimation loop: 10 physics substeps @ 1 kHz under lax.scan;
         # the scalarized engine core batches natively (no vmap) ---
-        from ..physics.engine_core import substep_batched
+        from ..physics.contact import (flat_cell_cache, gather_contact_cells,
+                                       packed_cell_corners)
+        from ..physics.engine_core import contact_point_xy, substep_batched
 
         hf = self.heightfield.replace(height=state.terrain_height)
 
+        # frozen-cell contact: ONE gather per policy step picks every contact
+        # point's bilinear cell; the 10 substeps then run gather-free (see
+        # contact.CellCache — per-substep gathers are ~100x the rest of the
+        # physics on TPU).
+        px0, py0 = contact_point_xy(self.model, state.phys)
+        if self.terrain is None:
+            cells = flat_cell_cache(px0, py0)
+        else:
+            cells = gather_contact_cells(
+                hf, packed_cell_corners(state.terrain_height), px0, py0)
+
         def vsub(ph, pr, tau, fr, bf, bt):
             return substep_batched(self.model, pr, hf, self.copts,
-                                   self.sopts, ph, tau, fr, self.cp_meff, bf, bt)
+                                   self.sopts, ph, tau, fr, self.cp_meff, bf, bt,
+                                   cell_cache=cells)
         dr = cfg.domain_rand
 
         def sub_fn(carry, inp):

@@ -89,6 +89,80 @@ def surface_normal(hf: HeightField, xy: jnp.ndarray) -> jnp.ndarray:
 
 
 @struct.dataclass
+class CellCache:
+    """Frozen bilinear cell per contact point — the TPU-native heightfield
+    lookup.
+
+    XLA:TPU lowers arbitrary gathers at ~20-50 ns per gathered fragment, so
+    the reference-style per-substep height sampling (20 gathers x [ncp, N]
+    per 1 kHz substep) costs ~100x the rest of the physics.  Instead the env
+    gathers each contact point's 2x2 cell corners ONCE per policy step (one
+    element-gather from a corner-packed table, trailing dim contiguous) and
+    the 10 substeps evaluate height and the analytic bilinear gradient from
+    these frozen corners with pure arithmetic — zero gathers in the hot loop.
+
+    Freezing the cell for one policy step (10 ms) is sound: contact points
+    move ~2 cm per step at walking speeds while cells are 10 cm; outside the
+    cell the bilinear surface extrapolates continuously.  PhysX's triangle-
+    mesh heightfield likewise resolves a contact against a single static
+    triangle per solver step (reference ``legged_robot.py:1216-1241``).
+
+    All arrays are [ncp, ...batch] f32 (points ride the sublanes, envs the
+    lanes — same layout as the substep's contact math).
+    """
+
+    x0: jnp.ndarray   # world x of the cell's (i0, j0) corner
+    y0: jnp.ndarray   # world y of the cell's (i0, j0) corner
+    h00: jnp.ndarray
+    h10: jnp.ndarray
+    h01: jnp.ndarray
+    h11: jnp.ndarray
+
+
+def packed_cell_corners(height: jnp.ndarray) -> jnp.ndarray:
+    """[rows, cols] height map -> [rows*cols, 4] per-cell corner table.
+
+    Entry ``i*cols + j`` holds ``(h[i,j], h[i+1,j], h[i,j+1], h[i+1,j+1])``
+    (edge rows/cols replicate), so one element-gather with a contiguous
+    trailing dimension fetches a full bilinear cell.
+    """
+    h00 = height
+    h10 = jnp.concatenate([height[1:], height[-1:]], axis=0)
+    h01 = jnp.concatenate([height[:, 1:], height[:, -1:]], axis=1)
+    h11 = jnp.concatenate([h10[:, 1:], h10[:, -1:]], axis=1)
+    return jnp.stack([h00, h10, h01, h11], axis=-1).reshape(-1, 4)
+
+
+def gather_contact_cells(hf: HeightField, packed: jnp.ndarray,
+                         px: jnp.ndarray, py: jnp.ndarray) -> CellCache:
+    """One gather of every contact point's bilinear cell.
+
+    Args:
+      packed: ``packed_cell_corners(hf.height)``.
+      px, py: [ncp, N] world xy of the contact points.
+    """
+    rows, cols = hf.height.shape
+    u = (px + hf.offset) / hf.hscale
+    v = (py + hf.offset) / hf.hscale
+    i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, rows - 2)
+    j0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, cols - 2)
+    corners = jnp.take(packed, i0 * cols + j0, axis=0, mode="clip")  # [..., 4]
+    return CellCache(
+        x0=i0.astype(jnp.float32) * hf.hscale - hf.offset,
+        y0=j0.astype(jnp.float32) * hf.hscale - hf.offset,
+        h00=corners[..., 0], h10=corners[..., 1],
+        h01=corners[..., 2], h11=corners[..., 3],
+    )
+
+
+def flat_cell_cache(px: jnp.ndarray, py: jnp.ndarray) -> CellCache:
+    """Analytic all-zero cell cache for plane terrain (no gather at all)."""
+    z = jnp.zeros_like(px)
+    return CellCache(x0=jnp.floor(px), y0=jnp.floor(py),
+                     h00=z, h10=z, h01=z, h11=z)
+
+
+@struct.dataclass
 class ContactOpts:
     """Compliant contact coefficients (trace-time constants).
 

@@ -48,6 +48,8 @@ def substep_batched(
     cp_meff: jnp.ndarray,        # [ncp, 2]
     base_force_w: Optional[jnp.ndarray] = None,   # [N, 3]
     base_torque_w: Optional[jnp.ndarray] = None,  # [N, 3]
+    cell_cache=None,                               # ContactCells frozen per policy step
+    _ablate: str = "",                             # dev-only perf bisection
 ) -> Tuple[PhysicsState, jnp.ndarray]:
     nb = model.nb
     nd = model.num_dof
@@ -127,10 +129,30 @@ def substep_batched(
         return (h00 * (1 - fu) * (1 - fv) + h10 * fu * (1 - fv)
                 + h01 * (1 - fu) * fv + h11 * fu * fv)
 
-    h = sample(px, py)
-    eps = terrain.hscale * 0.5
-    dhdx = (sample(px + eps, py) - sample(px - eps, py)) / (2 * eps)
-    dhdy = (sample(px, py + eps) - sample(px, py - eps)) / (2 * eps)
+    if _ablate == "flat_analytic":
+        h = jnp.zeros_like(px)
+        dhdx = jnp.zeros_like(px)
+        dhdy = jnp.zeros_like(px)
+    elif cell_cache is not None:
+        # frozen-cell analytic bilinear (see contact.CellCache): height and
+        # gradient from per-point corners gathered once per policy step —
+        # zero gathers inside the 1 kHz loop.  fu/fv are NOT clipped, so the
+        # surface extrapolates continuously if a point drifts off its cell.
+        hs = terrain.hscale
+        fu = (px - cell_cache.x0) / hs
+        fv = (py - cell_cache.y0) / hs
+        c00, c10 = cell_cache.h00, cell_cache.h10
+        c01, c11 = cell_cache.h01, cell_cache.h11
+        gu = 1.0 - fu
+        gv = 1.0 - fv
+        h = c00 * gu * gv + c10 * fu * gv + c01 * gu * fv + c11 * fu * fv
+        dhdx = ((c10 - c00) * gv + (c11 - c01) * fv) / hs
+        dhdy = ((c01 - c00) * gu + (c11 - c10) * fu) / hs
+    else:
+        h = sample(px, py)
+        eps = terrain.hscale * 0.5
+        dhdx = (sample(px + eps, py) - sample(px - eps, py)) / (2 * eps)
+        dhdy = (sample(px, py + eps) - sample(px, py - eps)) / (2 * eps)
     n_norm = jnp.sqrt(dhdx * dhdx + dhdy * dhdy + 1.0)
     nx, ny, nz = -dhdx / n_norm, -dhdy / n_norm, 1.0 / n_norm
 
@@ -177,10 +199,19 @@ def substep_batched(
     nax = jnp.where(active, jnp.where(sliding, sx, ax_), px)
     nay = jnp.where(active, jnp.where(sliding, sy, ay_), py)
     naz = jnp.where(active, jnp.where(sliding, sz, az_), pz)
-    f_pts = [(fX[k], fY[k], fZ[k]) for k in range(ncp)]
-    new_anchor = jnp.stack([
-        jnp.moveaxis(nax, 0, -1), jnp.moveaxis(nay, 0, -1),
-        jnp.moveaxis(naz, 0, -1)], axis=-1)           # [N, ncp, 3]
+    if _ablate in ("no_contact_force", "no_contact"):
+        # zero the contact wrench (and for "no_contact" also the anchor
+        # update) so XLA dead-code-eliminates the whole contact chain
+        zero = jnp.zeros_like(px[0])
+        f_pts = [(zero, zero, zero) for _ in range(ncp)]
+    else:
+        f_pts = [(fX[k], fY[k], fZ[k]) for k in range(ncp)]
+    if _ablate == "no_contact":
+        new_anchor = state.cp_anchor
+    else:
+        new_anchor = jnp.stack([
+            jnp.moveaxis(nax, 0, -1), jnp.moveaxis(nay, 0, -1),
+            jnp.moveaxis(naz, 0, -1)], axis=-1)       # [N, ncp, 3]
 
     # per-body contact force/torque accumulation (world)
     f_body = [s3.v3_zero_like(bp) for _ in range(nb)]
@@ -340,3 +371,44 @@ def substep_batched(
     )
     body_forces = jnp.stack([s3.v3_stack(f) for f in f_body], axis=-2)  # [N, nb, 3]
     return new_state, body_forces
+
+
+def contact_point_xy(model: RobotModel, state: PhysicsState):
+    """World xy of every collision point, ([ncp, N], [ncp, N]).
+
+    Positions-only component-form FK, used once per policy step (outside the
+    decimation scan) to pick each point's frozen bilinear cell
+    (:class:`~ti5_isaacgym_tpu.physics.contact.CellCache`).
+    """
+    nb = model.nb
+    ncp = int(model.cp_pos.shape[0])
+    parent = [int(p) for p in np.asarray(model.parent)]
+    axis_c = [_const_v3(np.asarray(model.joint_axis)[i]) for i in range(nb)]
+    jpos_c = [_const_v3(np.asarray(model.joint_pos)[i]) for i in range(nb)]
+    jrot_c = [_const_m33(np.asarray(model.joint_rot)[i]) for i in range(nb)]
+    jrot_identity = [bool(np.allclose(np.asarray(model.joint_rot)[i], np.eye(3)))
+                     for i in range(nb)]
+    cp_body = [int(b) for b in np.asarray(model.cp_body)]
+    cp_pos_c = [_const_v3(np.asarray(model.cp_pos)[k]) for k in range(ncp)]
+
+    bp = s3.v3_unstack(state.base_pos)
+    bq = s3.q_unstack(state.base_quat)
+    qpos = [state.qpos[..., j] for j in range(model.num_dof)]
+
+    pos = [bp]
+    rot = [s3.q_to_m33(bq)]
+    for i in range(1, nb):
+        p = parent[i]
+        qj = s3.q_from_axis_angle(axis_c[i], qpos[i - 1])
+        Rj = s3.q_to_m33(qj)
+        Rpc = Rj if jrot_identity[i] else s3.m33_mm(jrot_c[i], Rj)
+        rot.append(s3.m33_mm(rot[p], Rpc))
+        pos.append(s3.v3_add(pos[p], s3.m33_mv(rot[p], jpos_c[i])))
+
+    px, py = [], []
+    for k in range(ncp):
+        b = cp_body[k]
+        pw = s3.v3_add(pos[b], s3.m33_mv(rot[b], cp_pos_c[k]))
+        px.append(pw[0])
+        py.append(pw[1])
+    return jnp.stack(px), jnp.stack(py)
