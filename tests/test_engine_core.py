@@ -76,3 +76,59 @@ def test_scalarized_multistep_stable():
     s2, cf = run(states)
     assert bool(jnp.all(jnp.isfinite(s2.base_pos)))
     assert bool(jnp.all(s2.base_pos[:, 2] > -0.1))
+
+
+def test_ctx_kinematics_matches_aos_fk():
+    """Component-form ctx kinematics == vmapped array-of-structures FK."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ti5_isaacgym_tpu.physics import dynamics as dyn
+    from ti5_isaacgym_tpu.physics import spatial as sp
+    from ti5_isaacgym_tpu.physics.engine import PhysicsState
+    from ti5_isaacgym_tpu.physics.engine_core import ctx_kinematics
+    from ti5_isaacgym_tpu.physics.model import load_t1
+
+    model = load_t1()
+    rng = np.random.RandomState(1)
+    n = 24
+    quat = rng.normal(size=(n, 4)).astype(np.float32)
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    phys = PhysicsState(
+        base_pos=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        base_quat=jnp.asarray(quat),
+        base_vel=jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32)),
+        qpos=jnp.asarray(rng.uniform(-1.5, 1.5, size=(n, 12)).astype(np.float32)),
+        qvel=jnp.asarray(rng.normal(size=(n, 12)).astype(np.float32)),
+        cp_anchor=jnp.zeros((n, model.cp_pos.shape[0], 3)))
+
+    k = jax.jit(lambda s: ctx_kinematics(model, s))(phys)
+
+    frames = jax.vmap(lambda i: dyn.fk(model, phys.base_pos[i], phys.base_quat[i],
+                                       phys.base_vel[i], phys.qpos[i],
+                                       phys.qvel[i]))(jnp.arange(n))
+    lin_w, ang_w = jax.vmap(dyn.body_world_vel)(frames)
+    feet = list(model.feet_bodies)
+    knees = list(model.knee_bodies)
+
+    np.testing.assert_allclose(np.asarray(k["feet_pos"]),
+                               np.asarray(frames.pos[:, feet]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k["knee_xy"]),
+                               np.asarray(frames.pos[:, knees][..., :2]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k["feet_angvel_xy"]),
+                               np.asarray(ang_w[:, feet][..., :2]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(k["root_lin_w"]),
+                               np.asarray(lin_w[:, 0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k["root_ang_w"]),
+                               np.asarray(ang_w[:, 0]), atol=1e-5)
+    want_euler = sp.quat_to_euler_xyz(sp.mat_to_quat(frames.rot[:, feet]))
+    np.testing.assert_allclose(np.asarray(k["feet_euler"]),
+                               np.asarray(want_euler), atol=1e-4)
+
+    # 2-D batch layout agrees
+    phys2 = jax.tree.map(lambda x: x.reshape((4, 6) + x.shape[1:]), phys)
+    k2 = jax.jit(lambda s: ctx_kinematics(model, s))(phys2)
+    np.testing.assert_allclose(
+        np.asarray(k2["feet_pos"]).reshape(n, 2, 3),
+        np.asarray(k["feet_pos"]), atol=1e-6)

@@ -1,0 +1,63 @@
+"""The Pallas decimation megakernel must reproduce the lax.scan substep path."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ti5_isaacgym_tpu.configs.t1_dh_stand import T1EnvCfg
+from ti5_isaacgym_tpu.envs.t1_dh_stand import T1DHStandEnv
+
+
+def _mk_env(megakernel: bool, **terrain_kw):
+    cfg = T1EnvCfg()
+    cfg = dataclasses.replace(
+        cfg,
+        env=dataclasses.replace(cfg.env, num_envs=16),
+        sim=dataclasses.replace(cfg.sim, megakernel=megakernel),
+        # identical RNG streams in both paths require the per-substep torque
+        # noise off (the streams differ by construction, not the math)
+        domain_rand=dataclasses.replace(cfg.domain_rand, randomize_torque=False),
+        terrain=dataclasses.replace(cfg.terrain, num_rows=2, num_cols=2,
+                                    border_size=2.0, **terrain_kw),
+    )
+    return T1DHStandEnv(cfg, seed=0)
+
+
+@pytest.mark.slow
+def test_megakernel_matches_scan_path():
+    env_a = _mk_env(False)
+    env_b = _mk_env(True)
+
+    key = jax.random.PRNGKey(3)
+    s0 = jax.jit(env_a.init_state)(key)
+
+    step_a = jax.jit(env_a.step)
+    step_b = jax.jit(env_b.step)
+
+    sa = sb = s0
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        act = jnp.asarray(rng.uniform(-1, 1, size=(16, 12)).astype(np.float32))
+        sa, oa, pa, ra, da, _ = step_a(sa, act)
+        sb, ob, pb, rb, db, _ = step_b(sb, act)
+        # physics state must agree to float tolerance (identical math, only
+        # the torque-noise RNG stream differs -> disable via same key? the
+        # noise is off in this config check below)
+        np.testing.assert_allclose(np.asarray(sa.phys.qpos),
+                                   np.asarray(sb.phys.qpos),
+                                   atol=2e-4, err_msg=f"step {i} qpos")
+        np.testing.assert_allclose(np.asarray(sa.phys.base_pos),
+                                   np.asarray(sb.phys.base_pos),
+                                   atol=2e-4, err_msg=f"step {i} base_pos")
+        np.testing.assert_allclose(np.asarray(sa.contact_forces),
+                                   np.asarray(sb.contact_forces),
+                                   atol=2.0, rtol=2e-3,
+                                   err_msg=f"step {i} contact forces")
+        np.testing.assert_allclose(np.asarray(sa.lag_buffer),
+                                   np.asarray(sb.lag_buffer), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sa.dof_lag_buffer),
+                                   np.asarray(sb.dof_lag_buffer), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(sa.imu_lag_buffer),
+                                   np.asarray(sb.imu_lag_buffer), atol=2e-4)

@@ -127,3 +127,83 @@ def test_cell_cache_matches_bilinear_sample():
            + cells.h01 * (1 - fu_e) * fv + cells.h11 * fu_e * fv)
     np.testing.assert_allclose(np.asarray((h_e - h_cell) / eps),
                                np.asarray(dhdx), rtol=1e-2, atol=1e-3)
+
+
+def test_supercell_matches_gather_contact_cells():
+    """One-patch-per-env supercell extraction must reproduce the per-point
+    packed-corner gather exactly for points within the margin of the base."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ti5_isaacgym_tpu.physics.contact import (
+        HeightField, build_supertable, gather_cells_supercell,
+        gather_contact_cells, packed_cell_corners)
+
+    rng = np.random.RandomState(3)
+    height = jnp.asarray(rng.rand(57, 49).astype(np.float32))
+    hf = HeightField(height=height, hscale=0.1, offset=0.5)
+    stb = build_supertable(np.asarray(height), 0.1, 0.5,
+                           supercell=8, margin_m=0.7)
+
+    K, N = 7, 96
+    bx = jnp.asarray(rng.uniform(0.0, 4.5, size=N).astype(np.float32))
+    by = jnp.asarray(rng.uniform(0.0, 4.0, size=N).astype(np.float32))
+    off = rng.uniform(-0.68, 0.68, size=(2, K, N)).astype(np.float32)
+    px = bx[None] + jnp.asarray(off[0])
+    py = by[None] + jnp.asarray(off[1])
+
+    want = gather_contact_cells(hf, packed_cell_corners(height), px, py)
+    got = gather_cells_supercell(stb, bx, by, px, py)
+    # cell selection (x0/y0) must be exact; heights are bf16-stored, so match
+    # to bf16 ulp (~2^-9 for values in [0,1))
+    for f in ("x0", "y0"):
+        np.testing.assert_allclose(np.asarray(getattr(got, f)),
+                                   np.asarray(getattr(want, f)),
+                                   rtol=0, atol=1e-6, err_msg=f)
+    for f in ("h00", "h10", "h01", "h11"):
+        np.testing.assert_allclose(np.asarray(getattr(got, f)),
+                                   np.asarray(getattr(want, f)),
+                                   rtol=0, atol=3e-3, err_msg=f)
+
+    # 2-D batch layout round-trips identically
+    got2 = gather_cells_supercell(
+        stb, bx.reshape(8, 12), by.reshape(8, 12),
+        px.reshape(K, 8, 12), py.reshape(K, 8, 12))
+    np.testing.assert_allclose(np.asarray(got2.h11).reshape(K, N),
+                               np.asarray(got.h11), rtol=0, atol=1e-6)
+
+
+def test_max_cp_reach_bounds_fk():
+    """The env's collision-point reach bound must dominate true FK distances
+    in random configurations (it sizes the supercell margin)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ti5_isaacgym_tpu.configs.t1_dh_stand import T1EnvCfg
+    from ti5_isaacgym_tpu.envs.t1_dh_stand import T1DHStandEnv
+    from ti5_isaacgym_tpu.physics.engine_core import contact_point_xy
+    from ti5_isaacgym_tpu.physics.engine import PhysicsState
+
+    cfg = T1EnvCfg()
+    cfg = dataclasses.replace(
+        cfg, env=dataclasses.replace(cfg.env, num_envs=32),
+        terrain=dataclasses.replace(cfg.terrain, mesh_type="plane"))
+    env = T1DHStandEnv(cfg)
+    reach = env._max_cp_reach()
+
+    rng = np.random.RandomState(0)
+    n = 32
+    q = rng.uniform(-2.0, 2.0, size=(n, 12)).astype(np.float32)
+    quat = rng.normal(size=(n, 4)).astype(np.float32)
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    phys = PhysicsState(
+        base_pos=jnp.zeros((n, 3)), base_quat=jnp.asarray(quat),
+        base_vel=jnp.zeros((n, 6)), qpos=jnp.asarray(q),
+        qvel=jnp.zeros((n, 12)),
+        cp_anchor=jnp.zeros((n, env.model.cp_pos.shape[0], 3)))
+    px, py = jax.jit(lambda s: contact_point_xy(env.model, s))(phys)
+    d = np.sqrt(np.asarray(px) ** 2 + np.asarray(py) ** 2)
+    assert d.max() <= reach + 1e-4, (d.max(), reach)

@@ -90,6 +90,16 @@ class OnPolicyRunner:
         self.iteration_count = 0
         self._iter_fn = jax.jit(self._make_iteration())
         self._csv_file = None
+        self._tb = None
+        if log_dir is not None:
+            # TensorBoard scalars for parity with the reference runner
+            # (dh_on_policy_runner.py:98, :203-291); best-effort — CSV remains
+            # the canonical log.
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=log_dir, flush_secs=10)
+            except Exception:
+                self._tb = None
 
     # ------------------------------------------------------------------
 
@@ -191,6 +201,7 @@ class OnPolicyRunner:
             fps = samples_per_iter / dt_iter
             if self.log_dir:
                 self._log_csv(metrics, mean_ep_rew, mean_ep_len, fps)
+                self._log_tb(metrics, mean_ep_rew, mean_ep_len, fps)
             if it % log_every == 0 or it == num_iterations - 1:
                 print(f"it {self.iteration_count:5d} | fps {fps:9.0f} | "
                       f"rew/step {float(metrics['mean_step_reward']):7.4f} | "
@@ -234,6 +245,29 @@ class OnPolicyRunner:
             if first:
                 w.writeheader()
             w.writerow(row)
+
+    def _log_tb(self, metrics, mean_ep_rew, mean_ep_len, fps):
+        """TensorBoard scalars matching the reference's writer tags
+        (dh_on_policy_runner.py:223-241)."""
+        if self._tb is None:
+            return
+        it = self.iteration_count
+        w = self._tb
+        w.add_scalar("Loss/value_function", float(metrics["value_loss"]), it)
+        w.add_scalar("Loss/surrogate", float(metrics["surrogate_loss"]), it)
+        w.add_scalar("Loss/estimator", float(metrics["estimator_loss"]), it)
+        w.add_scalar("Loss/learning_rate", float(metrics["lr"]), it)
+        w.add_scalar("Policy/mean_noise_std", float(metrics["mean_noise_std"]), it)
+        w.add_scalar("Policy/kl", float(metrics["kl"]), it)
+        w.add_scalar("Perf/total_fps", fps, it)
+        w.add_scalar("Train/mean_reward", mean_ep_rew, it)
+        w.add_scalar("Train/mean_episode_length", mean_ep_len, it)
+        w.add_scalar("Episode/max_command_x", float(metrics["max_command_x"]), it)
+        w.add_scalar("Episode/terrain_level", float(metrics["terrain_level_mean"]), it)
+        n_done = max(float(metrics["done_count"]), 1.0)
+        for i, name in enumerate(getattr(self.env, "reward_names", ())):
+            w.add_scalar(f"Episode/rew_{name}",
+                         float(np.asarray(metrics["episode_sums_done"])[i]) / n_done, it)
 
     # --- checkpointing (orbax; reference torch.save dict :293-308) ----
 

@@ -116,6 +116,9 @@ class SimSection:
     max_depenetration_depth: float = 0.05
     joint_limit_kp: float = 500.0
     joint_limit_kd: float = 10.0
+    # fuse the whole decimation loop into one Pallas kernel launch
+    # (physics/megakernel.py); False falls back to the lax.scan path
+    megakernel: bool = True
 
 
 @dataclass(frozen=True)

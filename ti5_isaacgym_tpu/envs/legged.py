@@ -129,8 +129,8 @@ def push_ring(buf: jnp.ndarray, new: jnp.ndarray) -> jnp.ndarray:
 
 
 def read_ring(buf: jnp.ndarray, steps: jnp.ndarray) -> jnp.ndarray:
-    """Per-env lagged read: buf [N,C,L], steps [N] -> [N,C]."""
-    return jnp.take_along_axis(buf, steps[:, None, None], axis=-1)[..., 0]
+    """Per-env lagged read: buf [..., C, L], steps [...] -> [..., C]."""
+    return jnp.take_along_axis(buf, steps[..., None, None], axis=-1)[..., 0]
 
 
 def compute_torques(cfg: T1EnvCfg, params: EnvParams, torque_limits, default_dof_pos,

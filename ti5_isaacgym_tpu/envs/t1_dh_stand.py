@@ -41,8 +41,6 @@ from .types import EnvParams, EnvState
 class StepCtx(NamedTuple):
     """Derived quantities shared by termination/rewards/observations."""
 
-    frames_pos: jnp.ndarray        # [N,nb,3]
-    frames_rot: jnp.ndarray        # [N,nb,3,3]
     base_lin_vel: jnp.ndarray      # [N,3] base frame
     base_ang_vel: jnp.ndarray      # [N,3] base frame
     base_euler: jnp.ndarray        # [N,3]
@@ -70,6 +68,13 @@ class T1DHStandEnv:
         self.axis_name = None
         self.cfg = cfg
         self.model = model if model is not None else load_t1()
+        # Pallas runs compiled on TPU; on the CPU backend (unit tests,
+        # multi-chip dry runs) it must use interpret mode.  Decided at env
+        # construction from the effective default device.
+        _dev = jax.config.jax_default_device
+        _plat = (_dev.platform if _dev is not None
+                 else jax.local_devices()[0].platform)
+        self._mega_interpret = (_plat == "cpu")
         self.num_envs = cfg.env.num_envs
         self.num_actions = cfg.env.num_actions
         self.dt = cfg.control.decimation * cfg.sim.dt          # policy dt
@@ -82,11 +87,21 @@ class T1DHStandEnv:
             self.heightfield = self.terrain.heightfield()
             self.terrain_origins = self.terrain.origins_device()
             self.custom_origins = True
+            # supercell patch table for the frozen-cell contact gather: one
+            # fragment per env instead of one per contact point (contact.
+            # SuperTable).  Margin = max kinematic reach of any collision
+            # point from the base, so every point always hits its patch.
+            from ..physics.contact import build_supertable
+            self.supertable = build_supertable(
+                np.asarray(self.heightfield.height),
+                self.heightfield.hscale, self.heightfield.offset,
+                supercell=16, margin_m=self._max_cp_reach() + 0.1)
         else:
             self.terrain = None
             self.heightfield = flat_terrain()
             self.terrain_origins = None
             self.custom_origins = False
+            self.supertable = None
 
         # statics
         self.default_dof_pos = jnp.asarray(cfg.init_state.default_joint_angles, jnp.float32)
@@ -146,6 +161,20 @@ class T1DHStandEnv:
                              np.asarray(cfg.terrain.measured_points_y), indexing="ij")
         self.height_points = jnp.asarray(
             np.stack([gx.ravel(), gy.ravel(), np.zeros_like(gx).ravel()], -1), jnp.float32)
+
+    def _max_cp_reach(self) -> float:
+        """Upper bound on |collision point - base| over all joint configs:
+        per body, the sum of |joint offset| down the chain plus the point's
+        local norm (rotation-invariant triangle bound)."""
+        m = self.model
+        parent = np.asarray(m.parent)
+        jpos = np.asarray(m.joint_pos)
+        depth = np.zeros(m.nb, np.float64)
+        for i in range(1, m.nb):
+            depth[i] = depth[parent[i]] + float(np.linalg.norm(jpos[i]))
+        cp_body = np.asarray(m.cp_body)
+        cp_norm = np.linalg.norm(np.asarray(m.cp_pos), axis=-1)
+        return float(np.max(depth[cp_body] + cp_norm))
 
     # ------------------------------------------------------------------
     # initialization
@@ -407,61 +436,101 @@ class T1DHStandEnv:
 
         # --- decimation loop: 10 physics substeps @ 1 kHz under lax.scan;
         # the scalarized engine core batches natively (no vmap) ---
-        from ..physics.contact import (flat_cell_cache, gather_contact_cells,
-                                       packed_cell_corners)
+        from ..physics.contact import flat_cell_cache, gather_cells_supercell
         from ..physics.engine_core import contact_point_xy, substep_batched
 
         hf = self.heightfield.replace(height=state.terrain_height)
 
+        # 2-D (8, N/8) env-axis layout for the whole physics phase: 1-D [N]
+        # arrays occupy a single sublane row on TPU (1/8 of the VPU), so the
+        # elementwise physics runs ~3x faster with the env axis folded to
+        # (8, N/8) (tools/microbench_layout.py).  Reshape at the policy-step
+        # boundary; the engine core is written over leading `...` batch dims
+        # and doesn't care.
+        n = actions.shape[0]
+        rows = 8 if n % 8 == 0 else 1
+
+        def to2(x):
+            return x.reshape((rows, n // rows) + x.shape[1:])
+
+        def to1(x):
+            return x.reshape((n,) + x.shape[2:])
+
+        phys2 = jax.tree.map(to2, state.phys)
+        params2 = jax.tree.map(to2, state.params)
+        actions2 = to2(actions)
+        ext_f2 = to2(state.ext_force_apply)
+        ext_t2 = to2(state.ext_torque_apply)
+
         # frozen-cell contact: ONE gather per policy step picks every contact
         # point's bilinear cell; the 10 substeps then run gather-free (see
         # contact.CellCache — per-substep gathers are ~100x the rest of the
-        # physics on TPU).
-        px0, py0 = contact_point_xy(self.model, state.phys)
+        # physics on TPU).  The supercell table turns that into one gather
+        # fragment per ENV (not per point) + MXU one-hot extraction.
+        px0, py0 = contact_point_xy(self.model, phys2)
         if self.terrain is None:
-            cells = flat_cell_cache(px0, py0)
+            cells2 = flat_cell_cache(px0, py0)
         else:
-            cells = gather_contact_cells(
-                hf, packed_cell_corners(state.terrain_height), px0, py0)
+            cells2 = gather_cells_supercell(
+                self.supertable, phys2.base_pos[..., 0],
+                phys2.base_pos[..., 1], px0, py0)
+
+        dr = cfg.domain_rand
+        if getattr(cfg.sim, "megakernel", True) and rows == 8:
+            (phys2, lagb, dof_lagb, imu_lagb, torques, cforces2) = \
+                self._decimation_megakernel(state, phys2, params2, actions2,
+                                            cells2, ext_f2, ext_t2, k_sub)
+            state = state.replace(
+                phys=jax.tree.map(to1, phys2),
+                lag_buffer=to1(lagb), dof_lag_buffer=to1(dof_lagb),
+                imu_lag_buffer=to1(imu_lagb), torques=to1(torques),
+                contact_forces=to1(cforces2))
+            state, obs, priv_obs, rew, extras = self._post_physics_step(state, k_post)
+            clip_o = cfg.normalization.clip_observations
+            obs = jnp.clip(obs, -clip_o, clip_o)
+            priv_obs = jnp.clip(priv_obs, -clip_o, clip_o)
+            return state, obs, priv_obs, rew, state.reset_buf, extras
 
         def vsub(ph, pr, tau, fr, bf, bt):
             return substep_batched(self.model, pr, hf, self.copts,
                                    self.sopts, ph, tau, fr, self.cp_meff, bf, bt,
-                                   cell_cache=cells)
-        dr = cfg.domain_rand
+                                   cell_cache=cells2)
 
         def sub_fn(carry, inp):
             phys, lagb, dof_lagb, imu_lagb, torques = carry
             idx, k = inp
             torques, lagb = legged.compute_torques(
-                cfg, state.params, self.torque_limits, self.default_dof_pos,
-                lagb, actions, phys.qpos, phys.qvel, k)
+                cfg, params2, self.torque_limits, self.default_dof_pos,
+                lagb, actions2, phys.qpos, phys.qvel, k)
             # external wrench applies to the first substep only (Isaac Gym
             # per-step applied-force semantics)
             on = (idx == 0).astype(jnp.float32)
-            bf = state.ext_force_apply * on
-            bt = state.ext_torque_apply * on
-            phys, cforces = vsub(phys, state.params.dynamics, torques,
-                                 state.params.friction, bf, bt)
+            bf = ext_f2 * on
+            bt = ext_t2 * on
+            phys, cforces = vsub(phys, params2.dynamics, torques,
+                                 params2.friction, bf, bt)
             if dr.add_dof_lag:
                 dof_lagb = legged.push_ring(
                     dof_lagb, jnp.concatenate([phys.qpos, phys.qvel], -1))
             if dr.add_imu_lag:
                 euler = sp.quat_to_euler_xyz(phys.base_quat)
                 imu_lagb = legged.push_ring(
-                    imu_lagb, jnp.concatenate([phys.base_vel[:, :3], euler], -1))
+                    imu_lagb, jnp.concatenate([phys.base_vel[..., :3], euler], -1))
             return (phys, lagb, dof_lagb, imu_lagb, torques), cforces
 
         sub_keys = jax.random.split(k_sub, cfg.control.decimation)
+        carry0 = (phys2,) + jax.tree.map(
+            to2, (state.lag_buffer, state.dof_lag_buffer,
+                  state.imu_lag_buffer, state.torques))
         (phys, lagb, dof_lagb, imu_lagb, torques), cf_all = jax.lax.scan(
-            sub_fn,
-            (state.phys, state.lag_buffer, state.dof_lag_buffer,
-             state.imu_lag_buffer, state.torques),
+            sub_fn, carry0,
             (jnp.arange(cfg.control.decimation), sub_keys))
+        phys, lagb, dof_lagb, imu_lagb, torques = jax.tree.map(
+            to1, (phys, lagb, dof_lagb, imu_lagb, torques))
         state = state.replace(
             phys=phys, lag_buffer=lagb, dof_lag_buffer=dof_lagb,
             imu_lag_buffer=imu_lagb, torques=torques,
-            contact_forces=cf_all[-1])
+            contact_forces=to1(cf_all[-1]))
 
         # --- post-physics ---
         state, obs, priv_obs, rew, extras = self._post_physics_step(state, k_post)
@@ -471,30 +540,149 @@ class T1DHStandEnv:
         priv_obs = jnp.clip(priv_obs, -clip_o, clip_o)
         return state, obs, priv_obs, rew, state.reset_buf, extras
 
+    def _decimation_megakernel(self, state: EnvState, phys2, params2, actions2,
+                               cells2, ext_f2, ext_t2, k_sub):
+        """Pack state into row layout, run the one-launch Pallas decimation
+        kernel (physics/megakernel.py), unpack, and rebuild the shift-ring
+        lag buffers from the kernel's per-substep snapshots (one concatenate
+        per policy step instead of one per substep)."""
+        cfg = self.cfg
+        dr = cfg.domain_rand
+        from ..physics.engine_core import model_consts
+        from ..physics.megakernel import run_decimation
+
+        mc = model_consts(self.model)
+        nd, nb, ncp = mc.nd, mc.nb, mc.ncp
+        dec = cfg.control.decimation
+        rows8, m = actions2.shape[0], actions2.shape[1]
+
+        def r2(x):  # [N, ...] -> [8, M, ...]
+            return x.reshape((rows8, m) + x.shape[1:])
+
+        def lead(x):  # [8, M, C] -> [C, 8, M]
+            return jnp.moveaxis(x, -1, 0)
+
+        dyn = params2.dynamics
+        state_rows = jnp.concatenate([
+            lead(phys2.base_pos), lead(phys2.base_quat), lead(phys2.base_vel),
+            lead(phys2.qpos), lead(phys2.qvel)], axis=0)
+        anchor_rows = jnp.concatenate(
+            [jnp.moveaxis(phys2.cp_anchor[..., c], -1, 0) for c in range(3)], axis=0)
+        cell_rows = jnp.concatenate(
+            [cells2.x0, cells2.y0, cells2.h00, cells2.h10, cells2.h01,
+             cells2.h11], axis=0)
+        # dyn rows: mass[nb] | com[nb*3] | inertia[nb*9] | armature[nd] | fric
+        com = dyn.com                                   # [8,M,nb,3]
+        inert = dyn.inertia                             # [8,M,nb,3,3]
+        dyn_rows = jnp.concatenate([
+            lead(dyn.mass),
+            lead(com.reshape(com.shape[:-2] + (3 * nb,))),
+            lead(inert.reshape(inert.shape[:-3] + (9 * nb,))),
+            lead(dyn.armature),
+            params2.friction[None],
+        ], axis=0)
+        ctrl_rows = jnp.concatenate([
+            lead(params2.p_gains), lead(params2.d_gains),
+            lead(params2.motor_offsets), lead(params2.joint_coulomb),
+            lead(params2.joint_viscous)], axis=0)
+
+        # --- action lag resolved outside: within one policy step the pushed
+        # action is constant (reference pushes a_t then reads, 1 kHz) ---
+        a_scaled = actions2 * cfg.control.action_scale          # [8,M,nd]
+        lagb2 = r2(state.lag_buffer)                            # [8,M,nd,L]
+        L = lagb2.shape[-1]
+        if dr.add_lag:
+            lag2 = r2(state.params.lag_steps)                   # [8,M] int
+            lag_ks = []
+            for k in range(dec):
+                idx = jnp.clip(lag2 - (k + 1), 0, L - 1)
+                prev_k = jnp.take_along_axis(
+                    lagb2, idx[..., None, None], axis=-1)[..., 0]
+                lag_ks.append(jnp.where((lag2 <= k)[..., None], a_scaled, prev_k))
+            lagged_rows = jnp.concatenate([lead(x) for x in lag_ks], axis=0)
+            new_lagb = jnp.concatenate([
+                jnp.repeat(a_scaled[..., None], min(dec, L), axis=-1),
+                lagb2[..., :max(L - dec, 0)]], axis=-1)
+        else:
+            lagged_rows = jnp.concatenate([lead(a_scaled)] * dec, axis=0)
+            new_lagb = lagb2
+
+        if dr.randomize_torque:
+            lo, hi = dr.torque_multiplier_range
+            noise_rows = jax.random.uniform(
+                k_sub, (dec * nd, rows8, m), minval=lo, maxval=hi)
+        else:
+            noise_rows = jnp.ones((dec * nd, rows8, m), jnp.float32)
+        extw_rows = jnp.concatenate([lead(ext_f2), lead(ext_t2)], axis=0)
+
+        st, an, fo, tq, ds, iss = run_decimation(
+            mc, self.heightfield.hscale, self.copts, self.sopts, dec,
+            np.asarray(self.default_dof_pos), np.asarray(self.torque_limits),
+            np.asarray(self.cp_meff), dr.randomize_coulomb_friction,
+            dr.randomize_torque, state_rows, anchor_rows, cell_rows, dyn_rows,
+            ctrl_rows, lagged_rows, noise_rows, extw_rows,
+            interpret=self._mega_interpret)
+
+        def unlead(x):  # [C, 8, M] -> [8, M, C]
+            return jnp.moveaxis(x, 0, -1)
+
+        phys_out = phys2.replace(
+            base_pos=unlead(st[0:3]), base_quat=unlead(st[3:7]),
+            base_vel=unlead(st[7:13]), qpos=unlead(st[13:13 + nd]),
+            qvel=unlead(st[13 + nd:13 + 2 * nd]),
+            cp_anchor=jnp.stack(
+                [unlead(an[c * ncp:(c + 1) * ncp]) for c in range(3)], axis=-1))
+        cforces = unlead(fo).reshape(fo.shape[1:] + (nb, 3))
+        torques = unlead(tq)
+
+        # lag rings: snapshots are newest-LAST; ring index 0 = newest
+        dof_lagb = r2(state.dof_lag_buffer)
+        if dr.add_dof_lag:
+            Ld = dof_lagb.shape[-1]
+            snaps = unlead(ds).reshape(ds.shape[1:] + (dec, 2 * nd))  # [8,M,dec,24]
+            snaps = jnp.moveaxis(snaps[..., ::-1, :], -2, -1)         # [8,M,24,dec]
+            dof_lagb = jnp.concatenate(
+                [snaps[..., :min(dec, Ld)], dof_lagb[..., :max(Ld - dec, 0)]],
+                axis=-1)
+        imu_lagb = r2(state.imu_lag_buffer)
+        if dr.add_imu_lag:
+            Li = imu_lagb.shape[-1]
+            snaps = unlead(iss).reshape(iss.shape[1:] + (dec, 7))
+            euler = sp.quat_to_euler_xyz(snaps[..., 3:7])    # [8,M,dec,3]
+            snaps = jnp.concatenate([snaps[..., :3], euler], axis=-1)
+            snaps = jnp.moveaxis(snaps[..., ::-1, :], -2, -1)
+            imu_lagb = jnp.concatenate(
+                [snaps[..., :min(dec, Li)], imu_lagb[..., :max(Li - dec, 0)]],
+                axis=-1)
+        return phys_out, new_lagb, dof_lagb, imu_lagb, torques, cforces
+
     def _make_ctx(self, state: EnvState) -> StepCtx:
+        from ..physics.engine_core import ctx_kinematics
+
         model = self.model
-        frames = jax.vmap(lambda ph: dyn.fk(model, ph.base_pos, ph.base_quat,
-                                            ph.base_vel, ph.qpos, ph.qvel))(state.phys)
-        lin_w, ang_w = jax.vmap(dyn.body_world_vel)(frames)
         feet = list(model.feet_bodies)
-        knees = list(model.knee_bodies)
-        feet_rot = frames.rot[:, feet]                     # [N,2,3,3]
-        feet_quat = sp.mat_to_quat(feet_rot)
+        n = state.phys.base_pos.shape[0]
+        # component-form FK in the (8, N/8) layout (see step()) — the
+        # array-of-structures vmapped dyn.fk costs ~2 ms at 4096 envs,
+        # this path ~0.3 ms
+        rows = 8 if n % 8 == 0 else 1
+        phys2 = jax.tree.map(
+            lambda x: x.reshape((rows, n // rows) + x.shape[1:]), state.phys)
+        k = ctx_kinematics(model, phys2)
+        k = jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), k)
         base_euler = sp.quat_to_euler_xyz(state.phys.base_quat)
         grav = jnp.asarray([0.0, 0.0, -1.0])
-        n = state.phys.base_pos.shape[0]
         proj_grav = sp.quat_rotate_inverse(state.phys.base_quat,
                                            jnp.broadcast_to(grav, (n, 3)))
         return StepCtx(
-            frames_pos=frames.pos, frames_rot=frames.rot,
             base_lin_vel=state.phys.base_vel[:, 3:],
             base_ang_vel=state.phys.base_vel[:, :3],
             base_euler=base_euler, projected_gravity=proj_grav,
-            root_vel_world=jnp.concatenate([lin_w[:, 0], ang_w[:, 0]], -1),
-            feet_pos=frames.pos[:, feet],
-            feet_euler=sp.quat_to_euler_xyz(feet_quat),
-            feet_angvel_xy=ang_w[:, feet][..., :2],
-            knee_xy=frames.pos[:, knees][..., :2],
+            root_vel_world=jnp.concatenate([k["root_lin_w"], k["root_ang_w"]], -1),
+            feet_pos=k["feet_pos"],
+            feet_euler=k["feet_euler"],
+            feet_angvel_xy=k["feet_angvel_xy"],
+            knee_xy=k["knee_xy"],
             contact=state.contact_forces[:, feet, 2] > 5.0,
             stand_command=self._stand_command(state.commands),
         )

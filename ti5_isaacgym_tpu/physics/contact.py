@@ -163,6 +163,125 @@ def flat_cell_cache(px: jnp.ndarray, py: jnp.ndarray) -> CellCache:
 
 
 @struct.dataclass
+class SuperTable:
+    """Per-supercell contiguous terrain patches — one gather fragment per env.
+
+    Even the packed-corner cell gather costs one HBM fragment per contact
+    point (~50 ns each on TPU -> 32 x N fragments dominate the policy step).
+    All 32 points of an env lie within ``margin`` meters of its base, so the
+    terrain is tiled into ``S x S``-cell supercells and, for each, the full
+    ``(S + 2 M + 1)^2`` corner grid covering every possible point position is
+    stored as ONE contiguous table row.  Per policy step each env gathers its
+    single patch row (N fragments total, 32x fewer) and every point's 2x2
+    bilinear cell corners are extracted from the in-register patch with
+    one-hot row/column contractions — MXU work instead of random HBM access.
+
+    Static terrain only (built once at env construction, in numpy).
+    """
+
+    table: jnp.ndarray                                  # [nsi*nsj, PG*PG] f32
+    S: int = struct.field(pytree_node=False)            # supercell side [cells]
+    M: int = struct.field(pytree_node=False)            # margin [cells]
+    PG: int = struct.field(pytree_node=False)           # corner-grid side
+    nsi: int = struct.field(pytree_node=False)
+    nsj: int = struct.field(pytree_node=False)
+    rows: int = struct.field(pytree_node=False)         # heightfield rows
+    cols: int = struct.field(pytree_node=False)
+    hscale: float = struct.field(pytree_node=False)
+    offset: float = struct.field(pytree_node=False)
+
+
+def build_supertable(height, hscale: float, offset: float,
+                     supercell: int = 16, margin_m: float = 1.3) -> SuperTable:
+    """Precompute the supercell patch table from a (numpy) heightfield."""
+    import numpy as np
+
+    H = np.asarray(height, np.float32)
+    R, C = H.shape
+    S = int(supercell)
+    M = int(np.ceil(margin_m / hscale))
+    PG = S + 2 * M + 1
+    nsi = (R + S - 1) // S
+    nsj = (C + S - 1) // S
+    # pad so patch [si*S-M, si*S-M+PG) is always in range (edge replicate,
+    # matching the clipped lookup of gather_contact_cells)
+    Hp = np.pad(H, ((M, nsi * S - R + M + PG), (M, nsj * S - C + M + PG)),
+                mode="edge")
+    sw = np.lib.stride_tricks.sliding_window_view(Hp, (PG, PG))[::S, ::S]
+    st = np.ascontiguousarray(sw[:nsi, :nsj]).reshape(nsi * nsj, PG * PG)
+    # bf16 storage: halves the gather bandwidth and lets the one-hot corner
+    # extraction run on the MXU at bf16 rate.  The resulting <= 2^-8 relative
+    # height error (~4 mm at 2 m elevation) is the same order as the int16
+    # quantization PhysX heightfields apply (vertical_scale=0.005,
+    # reference utils/terrain.py:29-31) — the selection itself stays exact
+    # because each one-hot row has a single nonzero.
+    return SuperTable(table=jnp.asarray(st, jnp.bfloat16), S=S, M=M, PG=PG,
+                      nsi=nsi, nsj=nsj, rows=R, cols=C, hscale=float(hscale),
+                      offset=float(offset))
+
+
+def gather_cells_supercell(stb: SuperTable, base_x, base_y,
+                           px: jnp.ndarray, py: jnp.ndarray) -> CellCache:
+    """CellCache via one patch gather per env + one-hot corner extraction.
+
+    Args:
+      base_x, base_y: [...B] world xy of each env's base (patch anchor).
+      px, py: [K, ...B] world xy of the contact points.  Points farther than
+        the table margin from the base clamp to the patch edge (graceful
+        degradation; the margin is sized to the robot's maximum reach).
+    Returns CellCache with [K, ...B] fields, identical to
+    :func:`gather_contact_cells` for in-margin points.
+    """
+    K = px.shape[0]
+    batch = px.shape[1:]
+    n = 1
+    for d in batch:
+        n *= d
+    pu = ((px + stb.offset) / stb.hscale).reshape(K, n)
+    pv = ((py + stb.offset) / stb.hscale).reshape(K, n)
+    bu = ((base_x + stb.offset) / stb.hscale).reshape(n)
+    bv = ((base_y + stb.offset) / stb.hscale).reshape(n)
+
+    si = jnp.clip((bu / stb.S).astype(jnp.int32), 0, stb.nsi - 1)
+    sj = jnp.clip((bv / stb.S).astype(jnp.int32), 0, stb.nsj - 1)
+    patch = jnp.take(stb.table, si * stb.nsj + sj, axis=0)      # [n, PG*PG]
+    patch = patch.reshape(n, stb.PG, stb.PG)
+
+    # cell index within the patch; mirror gather_contact_cells' global clip
+    # to [0, rows-2] before the patch-local clamp
+    ou = si * stb.S - stb.M                                     # patch origin
+    ov = sj * stb.S - stb.M
+    i0 = jnp.clip(jnp.floor(pu).astype(jnp.int32), 0, stb.rows - 2)
+    j0 = jnp.clip(jnp.floor(pv).astype(jnp.int32), 0, stb.cols - 2)
+    iu = jnp.clip(i0 - ou[None], 0, stb.PG - 2)                 # [K, n]
+    iv = jnp.clip(j0 - ov[None], 0, stb.PG - 2)
+
+    r = jnp.arange(stb.PG, dtype=jnp.int32)
+    iuT, ivT = iu.T, iv.T                                       # [n, K]
+    # one MXU contraction extracts rows i0 (first K) and i0+1 (second K)
+    sel_r = jnp.concatenate([
+        (iuT[..., None] == r), (iuT[..., None] == (r - 1))],
+        axis=1).astype(jnp.bfloat16)                            # [n, 2K, PG]
+    rows = jnp.einsum("nkr,nrc->nkc", sel_r, patch,
+                      preferred_element_type=jnp.float32)       # [n, 2K, PG]
+    rows0, rows1 = rows[:, :K], rows[:, K:]
+    sel_c0 = (ivT[..., None] == r).astype(jnp.float32)
+    sel_c1 = (ivT[..., None] == (r - 1)).astype(jnp.float32)
+    h00 = jnp.sum(rows0 * sel_c0, -1).T                         # [K, n]
+    h01 = jnp.sum(rows0 * sel_c1, -1).T
+    h10 = jnp.sum(rows1 * sel_c0, -1).T
+    h11 = jnp.sum(rows1 * sel_c1, -1).T
+
+    shape = (K,) + batch
+    x0 = (ou[None] + iu).astype(jnp.float32) * stb.hscale - stb.offset
+    y0 = (ov[None] + iv).astype(jnp.float32) * stb.hscale - stb.offset
+    return CellCache(
+        x0=x0.reshape(shape), y0=y0.reshape(shape),
+        h00=h00.reshape(shape), h10=h10.reshape(shape),
+        h01=h01.reshape(shape), h11=h11.reshape(shape))
+
+
+@struct.dataclass
 class ContactOpts:
     """Compliant contact coefficients (trace-time constants).
 

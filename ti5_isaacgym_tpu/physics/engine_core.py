@@ -14,7 +14,7 @@ test asserts both paths produce the same trajectories.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +36,44 @@ def _const_m33(arr) -> tuple:
     return tuple(tuple(float(a[i, j]) for j in range(3)) for i in range(3))
 
 
+class ModelConsts(NamedTuple):
+    """Trace-time constants of the kinematic tree (python lists of floats —
+    folded into the compiled program by XLA / Mosaic)."""
+
+    nb: int
+    nd: int
+    ncp: int
+    parent: list
+    axis_c: list
+    jpos_c: list
+    jrot_c: list
+    jrot_identity: list
+    cp_body: list
+    cp_pos_c: list
+    dof_lower: list
+    dof_upper: list
+    dof_effort: list
+
+
+def model_consts(model: RobotModel) -> ModelConsts:
+    nb = model.nb
+    ncp = int(model.cp_pos.shape[0])
+    return ModelConsts(
+        nb=nb, nd=model.num_dof, ncp=ncp,
+        parent=[int(p) for p in np.asarray(model.parent)],
+        axis_c=[_const_v3(np.asarray(model.joint_axis)[i]) for i in range(nb)],
+        jpos_c=[_const_v3(np.asarray(model.joint_pos)[i]) for i in range(nb)],
+        jrot_c=[_const_m33(np.asarray(model.joint_rot)[i]) for i in range(nb)],
+        jrot_identity=[bool(np.allclose(np.asarray(model.joint_rot)[i], np.eye(3)))
+                       for i in range(nb)],
+        cp_body=[int(b) for b in np.asarray(model.cp_body)],
+        cp_pos_c=[_const_v3(np.asarray(model.cp_pos)[k]) for k in range(ncp)],
+        dof_lower=[float(x) for x in np.asarray(model.dof_lower)],
+        dof_upper=[float(x) for x in np.asarray(model.dof_upper)],
+        dof_effort=[float(x) for x in np.asarray(model.dof_effort)],
+    )
+
+
 def substep_batched(
     model: RobotModel,
     params,                      # DynamicsParams with leading [N]
@@ -53,33 +91,103 @@ def substep_batched(
 ) -> Tuple[PhysicsState, jnp.ndarray]:
     nb = model.nb
     nd = model.num_dof
-    ncp = int(model.cp_pos.shape[0])
 
-    # --- static model constants (folded by XLA) ---
-    parent = [int(p) for p in np.asarray(model.parent)]
-    axis_c = [_const_v3(np.asarray(model.joint_axis)[i]) for i in range(nb)]
-    jpos_c = [_const_v3(np.asarray(model.joint_pos)[i]) for i in range(nb)]
-    jrot_c = [_const_m33(np.asarray(model.joint_rot)[i]) for i in range(nb)]
-    jrot_identity = [bool(np.allclose(np.asarray(model.joint_rot)[i], np.eye(3)))
-                     for i in range(nb)]
-    cp_body = [int(b) for b in np.asarray(model.cp_body)]
-    cp_pos_c = [_const_v3(np.asarray(model.cp_pos)[k]) for k in range(ncp)]
-    dof_lower = [float(x) for x in np.asarray(model.dof_lower)]
-    dof_upper = [float(x) for x in np.asarray(model.dof_upper)]
-    dof_effort = [float(x) for x in np.asarray(model.dof_effort)]
+    # --- unpack state into components, delegate to the stacked core
+    # (model geometry enters as trace-time constants, folded by XLA) ---
+    mc = model_consts(model)
+    comps = dict(
+        bp=s3.v3_unstack(state.base_pos),
+        bq=s3.q_unstack(state.base_quat),
+        bw=s3.v3_unstack(state.base_vel[..., :3]),
+        bv=s3.v3_unstack(state.base_vel[..., 3:]),
+        qpos=[state.qpos[..., j] for j in range(nd)],
+        qvel=[state.qvel[..., j] for j in range(nd)],
+        tau=[tau[..., j] for j in range(nd)],
+        mass=[params.mass[..., i] for i in range(nb)],
+        com=[s3.v3_unstack(params.com[..., i, :]) for i in range(nb)],
+        inert=[s3.m33_unstack(params.inertia[..., i, :, :]) for i in range(nb)],
+        arma=[params.armature[..., j] for j in range(nd)],
+        friction=friction,
+        ax=jnp.moveaxis(state.cp_anchor[..., 0], -1, 0),   # [ncp, N]
+        ay=jnp.moveaxis(state.cp_anchor[..., 1], -1, 0),
+        az=jnp.moveaxis(state.cp_anchor[..., 2], -1, 0),
+        bf=s3.v3_unstack(base_force_w) if base_force_w is not None else None,
+        bt=s3.v3_unstack(base_torque_w) if base_torque_w is not None else None,
+    )
 
-    # --- unpack state into components ---
-    bp = s3.v3_unstack(state.base_pos)
-    bq = s3.q_unstack(state.base_quat)
-    bw = s3.v3_unstack(state.base_vel[..., :3])
-    bv = s3.v3_unstack(state.base_vel[..., 3:])
-    qpos = [state.qpos[..., j] for j in range(nd)]
-    qvel = [state.qvel[..., j] for j in range(nd)]
-    tauj = [tau[..., j] for j in range(nd)]
-    mass = [params.mass[..., i] for i in range(nb)]
-    com = [s3.v3_unstack(params.com[..., i, :]) for i in range(nb)]
-    inert = [s3.m33_unstack(params.inertia[..., i, :, :]) for i in range(nb)]
-    arma = [params.armature[..., j] for j in range(nd)]
+    sample_fn = None
+    if cell_cache is None and _ablate != "flat_analytic":
+        def sample_fn(xs, ys):
+            u = (xs + terrain.offset) / terrain.hscale
+            vv = (ys + terrain.offset) / terrain.hscale
+            rows, cols = terrain.height.shape
+            i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, rows - 2)
+            j0 = jnp.clip(jnp.floor(vv).astype(jnp.int32), 0, cols - 2)
+            fu = jnp.clip(u - i0, 0.0, 1.0)
+            fv = jnp.clip(vv - j0, 0.0, 1.0)
+            h00 = terrain.height[i0, j0]
+            h10 = terrain.height[i0 + 1, j0]
+            h01 = terrain.height[i0, j0 + 1]
+            h11 = terrain.height[i0 + 1, j0 + 1]
+            return (h00 * (1 - fu) * (1 - fv) + h10 * fu * (1 - fv)
+                    + h01 * (1 - fu) * fv + h11 * fu * fv)
+
+    out = substep_stacked(mc, terrain.hscale, copts, sopts, comps,
+                          cells=cell_cache, cp_meff=np.asarray(cp_meff),
+                          sample_fn=sample_fn, _ablate=_ablate)
+
+    # --- repack ---
+    if _ablate == "no_contact":
+        new_anchor = state.cp_anchor
+    else:
+        new_anchor = jnp.stack([
+            jnp.moveaxis(out["nax"], 0, -1), jnp.moveaxis(out["nay"], 0, -1),
+            jnp.moveaxis(out["naz"], 0, -1)], axis=-1)       # [N, ncp, 3]
+    new_state = PhysicsState(
+        base_pos=s3.v3_stack(out["bp"]),
+        base_quat=s3.q_stack(out["bq"]),
+        base_vel=jnp.concatenate(
+            [s3.v3_stack(out["bw"]), s3.v3_stack(out["bv"])], axis=-1),
+        qpos=jnp.stack(out["qpos"], axis=-1),
+        qvel=jnp.stack(out["qvel"], axis=-1),
+        cp_anchor=new_anchor,
+    )
+    body_forces = jnp.stack(
+        [s3.v3_stack(f) for f in out["f_body"]], axis=-2)    # [N, nb, 3]
+    return new_state, body_forces
+
+
+def substep_stacked(mc: ModelConsts, hscale: float, copts: ContactOpts,
+                    sopts: SolverOpts, comps: dict, cells=None, cp_meff=None,
+                    sample_fn=None, _ablate: str = "") -> dict:
+    """The substep math over pure components — shared by the XLA path
+    (:func:`substep_batched`) and the Pallas megakernel
+    (:mod:`ti5_isaacgym_tpu.physics.megakernel`).
+
+    Everything is elementwise over the batch dims of the component arrays:
+    V3/M33 tuples for the tree quantities, ``[ncp, ...B]`` stacked arrays for
+    the contact points.  No reshapes, transposes, or gathers — safe to trace
+    inside a Pallas kernel where only tile-aligned ops are cheap.
+
+    comps keys: bp/bq/bw/bv (tuples), qpos/qvel/tau/arma (length-nd lists),
+    mass (length-nb list), com (list of V3), inert (list of M33), friction,
+    ax/ay/az ([ncp, ...B]), bf/bt (V3 or None).
+    cells: CellCache with [ncp, ...B] fields (frozen-cell path), or None with
+    ``sample_fn`` for the direct bilinear-gather path.
+    Returns dict: bp/bq/bw/bv, qpos/qvel, nax/nay/naz, f_body (list of V3).
+    """
+    nb, nd, ncp = mc.nb, mc.nd, mc.ncp
+    parent, axis_c, jpos_c = mc.parent, mc.axis_c, mc.jpos_c
+    jrot_c, jrot_identity = mc.jrot_c, mc.jrot_identity
+    cp_body, cp_pos_c = mc.cp_body, mc.cp_pos_c
+    dof_lower, dof_upper, dof_effort = mc.dof_lower, mc.dof_upper, mc.dof_effort
+
+    bp, bq, bw, bv = comps["bp"], comps["bq"], comps["bw"], comps["bv"]
+    qpos, qvel, tauj = comps["qpos"], comps["qvel"], comps["tau"]
+    mass, com, inert, arma = comps["mass"], comps["com"], comps["inert"], comps["arma"]
+    friction = comps["friction"]
+    ax_, ay_, az_ = comps["ax"], comps["ay"], comps["az"]
+    bf, bt = comps.get("bf"), comps.get("bt")
 
     # --- FK (component form) ---
     pos = [bp]
@@ -99,7 +207,7 @@ def substep_batched(
         w.append(s3.v3_add(s3.m33_tmv(Rpc, w[p]), s3.v3_scale(axis_c[i], qvel[j])))
         v.append(s3.m33_tmv(Rpc, s3.v3_add(v[p], s3.v3_cross(w[p], jpos_c[i]))))
 
-    # --- contact: all points' world kinematics, batched gathers ---
+    # --- contact: all points' world kinematics ---
     pw = []   # list of V3
     vw = []
     for k in range(ncp):
@@ -109,50 +217,33 @@ def substep_batched(
         vloc = s3.v3_add(v[b], s3.v3_cross(w[b], pl))
         vw.append(s3.m33_mv(rot[b], vloc))
 
-    # heights + normals via one batched bilinear gather over [ncp, N]
-    px = jnp.stack([p[0] for p in pw])
+    px = jnp.stack([p[0] for p in pw])    # [ncp, ...B]
     py = jnp.stack([p[1] for p in pw])
     pz = jnp.stack([p[2] for p in pw])
-
-    def sample(xs, ys):
-        u = (xs + terrain.offset) / terrain.hscale
-        vv = (ys + terrain.offset) / terrain.hscale
-        rows, cols = terrain.height.shape
-        i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, rows - 2)
-        j0 = jnp.clip(jnp.floor(vv).astype(jnp.int32), 0, cols - 2)
-        fu = jnp.clip(u - i0, 0.0, 1.0)
-        fv = jnp.clip(vv - j0, 0.0, 1.0)
-        h00 = terrain.height[i0, j0]
-        h10 = terrain.height[i0 + 1, j0]
-        h01 = terrain.height[i0, j0 + 1]
-        h11 = terrain.height[i0 + 1, j0 + 1]
-        return (h00 * (1 - fu) * (1 - fv) + h10 * fu * (1 - fv)
-                + h01 * (1 - fu) * fv + h11 * fu * fv)
 
     if _ablate == "flat_analytic":
         h = jnp.zeros_like(px)
         dhdx = jnp.zeros_like(px)
         dhdy = jnp.zeros_like(px)
-    elif cell_cache is not None:
+    elif cells is not None:
         # frozen-cell analytic bilinear (see contact.CellCache): height and
         # gradient from per-point corners gathered once per policy step —
         # zero gathers inside the 1 kHz loop.  fu/fv are NOT clipped, so the
         # surface extrapolates continuously if a point drifts off its cell.
-        hs = terrain.hscale
-        fu = (px - cell_cache.x0) / hs
-        fv = (py - cell_cache.y0) / hs
-        c00, c10 = cell_cache.h00, cell_cache.h10
-        c01, c11 = cell_cache.h01, cell_cache.h11
+        fu = (px - cells.x0) / hscale
+        fv = (py - cells.y0) / hscale
+        c00, c10 = cells.h00, cells.h10
+        c01, c11 = cells.h01, cells.h11
         gu = 1.0 - fu
         gv = 1.0 - fv
         h = c00 * gu * gv + c10 * fu * gv + c01 * gu * fv + c11 * fu * fv
-        dhdx = ((c10 - c00) * gv + (c11 - c01) * fv) / hs
-        dhdy = ((c01 - c00) * gu + (c11 - c10) * fu) / hs
+        dhdx = ((c10 - c00) * gv + (c11 - c01) * fv) / hscale
+        dhdy = ((c01 - c00) * gu + (c11 - c10) * fu) / hscale
     else:
-        h = sample(px, py)
-        eps = terrain.hscale * 0.5
-        dhdx = (sample(px + eps, py) - sample(px - eps, py)) / (2 * eps)
-        dhdy = (sample(px, py + eps) - sample(px, py - eps)) / (2 * eps)
+        h = sample_fn(px, py)
+        eps = hscale * 0.5
+        dhdx = (sample_fn(px + eps, py) - sample_fn(px - eps, py)) / (2 * eps)
+        dhdy = (sample_fn(px, py + eps) - sample_fn(px, py - eps)) / (2 * eps)
     n_norm = jnp.sqrt(dhdx * dhdx + dhdy * dhdy + 1.0)
     nx, ny, nz = -dhdx / n_norm, -dhdy / n_norm, 1.0 / n_norm
 
@@ -161,16 +252,16 @@ def substep_batched(
     active = gap > 0.0
 
     # per-point contact force (implicit-rate normal + anchor-spring
-    # friction), vectorized over points with [ncp, N] component arrays
+    # friction), vectorized over points with [ncp, ...B] component arrays
     # (points ride the sublanes, envs the lanes)
     vx = jnp.stack([vv[0] for vv in vw])
     vy = jnp.stack([vv[1] for vv in vw])
     vz = jnp.stack([vv[2] for vv in vw])
-    ax_ = jnp.moveaxis(state.cp_anchor[..., 0], -1, 0)   # [ncp, N]
-    ay_ = jnp.moveaxis(state.cp_anchor[..., 1], -1, 0)
-    az_ = jnp.moveaxis(state.cp_anchor[..., 2], -1, 0)
-    mn = jnp.asarray(np.asarray(cp_meff)[:, 0])[(...,) + (None,) * (px.ndim - 1)]
-    mt = jnp.asarray(np.asarray(cp_meff)[:, 1])[(...,) + (None,) * (px.ndim - 1)]
+    if "mn" in comps:          # megakernel path: passed as kernel inputs
+        mn, mt = comps["mn"], comps["mt"]
+    else:
+        mn = jnp.asarray(np.asarray(cp_meff)[:, 0])[(...,) + (None,) * (px.ndim - 1)]
+        mt = jnp.asarray(np.asarray(cp_meff)[:, 1])[(...,) + (None,) * (px.ndim - 1)]
     k_v = copts.kp * copts.dt + copts.kd
     kt_v = copts.kt * copts.dt + copts.kdt
     v_n = nx * vx + ny * vy + nz * vz
@@ -206,12 +297,6 @@ def substep_batched(
         f_pts = [(zero, zero, zero) for _ in range(ncp)]
     else:
         f_pts = [(fX[k], fY[k], fZ[k]) for k in range(ncp)]
-    if _ablate == "no_contact":
-        new_anchor = state.cp_anchor
-    else:
-        new_anchor = jnp.stack([
-            jnp.moveaxis(nax, 0, -1), jnp.moveaxis(nay, 0, -1),
-            jnp.moveaxis(naz, 0, -1)], axis=-1)       # [N, ncp, 3]
 
     # per-body contact force/torque accumulation (world)
     f_body = [s3.v3_zero_like(bp) for _ in range(nb)]
@@ -226,10 +311,10 @@ def substep_batched(
     # the reported contact forces (PhysX net-contact-force semantics)
     fx_body = list(f_body)
     tx_body = list(t_body)
-    if base_force_w is not None:
-        fx_body[0] = s3.v3_add(fx_body[0], s3.v3_unstack(base_force_w))
-    if base_torque_w is not None:
-        tx_body[0] = s3.v3_add(tx_body[0], s3.v3_unstack(base_torque_w))
+    if bf is not None:
+        fx_body[0] = s3.v3_add(fx_body[0], bf)
+    if bt is not None:
+        tx_body[0] = s3.v3_add(tx_body[0], bt)
 
     # --- joint-limit penalty + effort clamp ---
     tau_t = []
@@ -360,17 +445,82 @@ def substep_batched(
     bq_n = s3.q_normalize(s3.q_mul(bq, dq))
     bp_n = s3.v3_add(bp, s3.v3_scale(s3.q_rotate(bq_n, bv_n), dt))
 
-    # --- repack ---
-    new_state = PhysicsState(
-        base_pos=s3.v3_stack(bp_n),
-        base_quat=s3.q_stack(bq_n),
-        base_vel=jnp.concatenate([s3.v3_stack(bw_n), s3.v3_stack(bv_n)], axis=-1),
-        qpos=jnp.stack(qpos_n, axis=-1),
-        qvel=jnp.stack(qvel_n, axis=-1),
-        cp_anchor=new_anchor,
-    )
-    body_forces = jnp.stack([s3.v3_stack(f) for f in f_body], axis=-2)  # [N, nb, 3]
-    return new_state, body_forces
+    return dict(bp=bp_n, bq=bq_n, bw=bw_n, bv=bv_n, qpos=qpos_n, qvel=qvel_n,
+                nax=nax, nay=nay, naz=naz, f_body=f_body)
+
+
+def ctx_kinematics(model: RobotModel, state: PhysicsState):
+    """Component-form post-step kinematics for the task layer.
+
+    Computes exactly what the env's reward/termination context needs —
+    feet world pose (position + RPY euler) and world angular velocity xy,
+    knee world xy, and the base world-frame velocities (the reference's
+    ``root_states[:, 7:13]`` / ``rigid_state`` views) — without building
+    [N, nb, 3, 3] array-of-structures frames (which cost ~2 ms at 4096 envs
+    vs ~0.3 ms in component form on TPU).
+
+    state may carry any leading batch shape ``B``.  Returns a dict:
+      feet_pos [B,2,3], feet_euler [B,2,3], feet_angvel_xy [B,2,2],
+      knee_xy [B,2,2], root_lin_w [B,3], root_ang_w [B,3].
+    """
+    nb = model.nb
+    nd = model.num_dof
+    parent = [int(p) for p in np.asarray(model.parent)]
+    axis_c = [_const_v3(np.asarray(model.joint_axis)[i]) for i in range(nb)]
+    jpos_c = [_const_v3(np.asarray(model.joint_pos)[i]) for i in range(nb)]
+    jrot_c = [_const_m33(np.asarray(model.joint_rot)[i]) for i in range(nb)]
+    jrot_identity = [bool(np.allclose(np.asarray(model.joint_rot)[i], np.eye(3)))
+                     for i in range(nb)]
+
+    bp = s3.v3_unstack(state.base_pos)
+    bq = s3.q_unstack(state.base_quat)
+    bw = s3.v3_unstack(state.base_vel[..., :3])
+    bv = s3.v3_unstack(state.base_vel[..., 3:])
+    qpos = [state.qpos[..., j] for j in range(nd)]
+    qvel = [state.qvel[..., j] for j in range(nd)]
+
+    pos = [bp]
+    rot = [s3.q_to_m33(bq)]
+    w = [bw]
+    v = [bv]
+    for i in range(1, nb):
+        p = parent[i]
+        qj = s3.q_from_axis_angle(axis_c[i], qpos[i - 1])
+        Rj = s3.q_to_m33(qj)
+        Rpc = Rj if jrot_identity[i] else s3.m33_mm(jrot_c[i], Rj)
+        rot.append(s3.m33_mm(rot[p], Rpc))
+        pos.append(s3.v3_add(pos[p], s3.m33_mv(rot[p], jpos_c[i])))
+        w.append(s3.v3_add(s3.m33_tmv(Rpc, w[p]), s3.v3_scale(axis_c[i], qvel[i - 1])))
+        v.append(s3.m33_tmv(Rpc, s3.v3_add(v[p], s3.v3_cross(w[p], jpos_c[i]))))
+
+    def euler_xyz(R):
+        # RPY from world_from_body R (== quat_to_euler_xyz semantics,
+        # reference t1_dh_stand_env.py:16-39; atan2/asin are pre-wrapped)
+        roll = jnp.arctan2(R[2][1], R[2][2])
+        pitch = jnp.arcsin(jnp.clip(-R[2][0], -1.0, 1.0))
+        yaw = jnp.arctan2(R[1][0], R[0][0])
+        return roll, pitch, yaw
+
+    feet = list(model.feet_bodies)
+    knees = list(model.knee_bodies)
+    feet_pos = jnp.stack(
+        [jnp.stack(pos[b], axis=-1) for b in feet], axis=-2)        # [B,2,3]
+    feet_euler = jnp.stack(
+        [jnp.stack(euler_xyz(rot[b]), axis=-1) for b in feet], axis=-2)
+    feet_angvel_xy = []
+    for b in feet:
+        ww = s3.m33_mv(rot[b], w[b])                                # world
+        feet_angvel_xy.append(jnp.stack([ww[0], ww[1]], axis=-1))
+    feet_angvel_xy = jnp.stack(feet_angvel_xy, axis=-2)             # [B,2,2]
+    knee_xy = jnp.stack(
+        [jnp.stack([pos[b][0], pos[b][1]], axis=-1) for b in knees], axis=-2)
+    root_lin_w = jnp.stack(s3.m33_mv(rot[0], bv), axis=-1)
+    root_ang_w = jnp.stack(s3.m33_mv(rot[0], bw), axis=-1)
+    return {
+        "feet_pos": feet_pos, "feet_euler": feet_euler,
+        "feet_angvel_xy": feet_angvel_xy, "knee_xy": knee_xy,
+        "root_lin_w": root_lin_w, "root_ang_w": root_ang_w,
+    }
 
 
 def contact_point_xy(model: RobotModel, state: PhysicsState):

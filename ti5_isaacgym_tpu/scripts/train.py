@@ -23,6 +23,16 @@ def train(args):
     if getattr(runner, "_resume_path", None):
         carry = runner.load(runner._resume_path)
     n_iter = train_cfg.runner.max_iterations
+    if getattr(args, "profile", None):
+        # tracing/profiling subsystem (SURVEY §5.1): warm up past compiles,
+        # then capture a device trace of 3 steady-state iterations
+        import jax
+
+        carry = runner.learn(2, carry=carry, log_every=1)
+        with jax.profiler.trace(args.profile):
+            carry = runner.learn(3, carry=carry, log_every=1)
+        print(f"profiler trace written to {args.profile}")
+        n_iter = max(n_iter - 5, 0)
     runner.learn(n_iter, carry=carry, log_every=args.log_every)
 
 

@@ -46,8 +46,9 @@ def main():
         cfg = dataclasses.replace(cfg, env=dataclasses.replace(cfg.env, num_envs=n))
         env = T1DHStandEnv(cfg)
         key = jax.random.PRNGKey(0)
-        state = env.init_state(key)
-        state, obs, priv = env.reset(state)
+        # jit the bring-up: eager execution round-trips the remote compiler
+        # for every op on the axon backend
+        state, obs, priv = jax.jit(lambda k: env.reset(env.init_state(k)))(key)
         jax.block_until_ready(obs)
 
         # --- physics-only: scan of 10 substeps with fixed torques ---
