@@ -48,9 +48,11 @@ def test_privileged_linvel_slice(stepped):
     """lin_vel_idx = 73*2 + 53 = 199 must hold base_lin_vel * obs_scales.lin_vel
     in the NEWEST critic frame (reference config contract :460-466)."""
     env, step, state, obs, priv, *_ = stepped
-    got = priv[:, 199:202]
-    want = state.phys.base_vel[:, 3:] * 2.0
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    got = np.asarray(priv[:, 199:202], np.float32)
+    want = np.asarray(state.phys.base_vel[:, 3:] * 2.0)
+    # history is stored in bf16 (see EnvState.obs_hist) — layout must hold
+    # to bf16 rounding
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
 
 
 def test_priv_frame_tail_masks(stepped):
@@ -78,12 +80,13 @@ def test_reset_zeroes_history(env):
     state = state.replace(episode_length=state.episode_length.at[0].set(10_000))
     state, obs, priv, rew, done, _ = step(state, jnp.zeros((N, 12)))
     assert bool(done[0]) and not bool(done[1])
-    # env 0: all history frames except the newest are zero
-    hist0 = np.asarray(state.obs_hist[0])
+    # env 0: all history frames except the newest are zero (flat [N, 66*47])
+    hist0 = np.asarray(state.obs_hist[0], np.float32).reshape(66, 47)
     assert np.all(hist0[:-1] == 0.0)
     assert np.any(hist0[-1] != 0.0)
     # env 1 keeps its history
-    assert np.any(np.asarray(state.obs_hist[1][:-1]) != 0.0)
+    hist1 = np.asarray(state.obs_hist[1], np.float32).reshape(66, 47)
+    assert np.any(hist1[:-1] != 0.0)
     # episode counters reset (reset happens inside the step, so the
     # freshly-reset env ends the step at 0)
     assert int(state.episode_length[0]) == 0

@@ -82,7 +82,14 @@ class ActorCritic(nn.Module):
         return self.critic(critic_obs)[..., 0]
 
     def distribution(self, obs):
-        return self.actor(obs), jnp.broadcast_to(self.std, self.actor(obs).shape)
+        mean = self.actor(obs)
+        return mean, jnp.broadcast_to(self.std, mean.shape)
+
+    def loss_forward(self, obs, critic_obs):
+        """One fused forward for the PPO loss: (mean, std, value, est_vel)."""
+        mean, std = self.distribution(obs)
+        return mean, std, self.critic(critic_obs)[..., 0], jnp.zeros(
+            mean.shape[:-1] + (3,), mean.dtype)
 
 
 class ActorCriticDH(nn.Module):
@@ -142,6 +149,16 @@ class ActorCriticDH(nn.Module):
 
     def evaluate(self, critic_obs):
         return self.critic(critic_obs)[..., 0]
+
+    def loss_forward(self, obs, critic_obs):
+        """One fused forward for the PPO loss: (mean, std, value, est_vel) —
+        the estimator runs once and feeds both the actor input and the
+        supervised MSE term (reference runs these as separate module calls;
+        one traced forward lets XLA share the activations)."""
+        a_in, est = self._actor_input(obs)
+        mean = self.actor(a_in)
+        std = jnp.broadcast_to(self.std, mean.shape)
+        return mean, std, self.critic(critic_obs)[..., 0], est
 
 
 # --- Gaussian head utilities (shared by PPO variants) ---

@@ -103,9 +103,9 @@ class PPO:
 
     def _loss(self, params, mb: Transition, mb_returns, mb_adv):
         cfg = self.cfg
-        mean, std = self.network.apply(params, mb.obs, method="distribution")
+        mean, std, value, est_vel = self.network.apply(
+            params, mb.obs, mb.critic_obs, method="loss_forward")
         logp = nets.log_prob(mean, std, mb.actions)
-        value = self.network.apply(params, mb.critic_obs, method="evaluate")
         ent = nets.entropy(std)
 
         ratio = jnp.exp(logp - mb.log_probs)
@@ -123,7 +123,6 @@ class PPO:
         loss = surrogate_loss + cfg.value_loss_coef * v_loss - cfg.entropy_coef * ent.mean()
         est_loss = jnp.zeros(())
         if self.dh:
-            est_vel = self.network.apply(params, mb.obs, method="estimate_velocity")
             ref_vel = jax.lax.dynamic_slice_in_dim(
                 mb.critic_obs, cfg.lin_vel_idx, 3, axis=-1)
             est_loss = jnp.mean(jnp.square(est_vel - ref_vel))
@@ -145,12 +144,15 @@ class PPO:
             mb = jax.tree.map(lambda x: x[mb_idx], flat)
             mb_ret, mb_adv = flat_ret[mb_idx], flat_adv[mb_idx]
 
+            (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                ts.params, mb, mb_ret, mb_adv)
+            surrogate_loss, v_loss, est_loss, mu_new, sigma_new = aux
+
             # adaptive-KL LR (reference dh_ppo.py:139-151): measured with the
-            # *current* params before this minibatch's step
+            # *current* params (== the loss forward's distribution — the
+            # reference uses one forward for both) and applied to this step
             lr = ts.lr
             if cfg.desired_kl is not None and cfg.schedule == "adaptive":
-                mu_new, sigma_new = self.network.apply(ts.params, mb.obs,
-                                                       method="distribution")
                 kl_mean = jnp.mean(nets.gaussian_kl(mb.mu, mb.sigma, mu_new, sigma_new))
                 if self.axis_name is not None:
                     kl_mean = jax.lax.pmean(kl_mean, self.axis_name)
@@ -161,14 +163,11 @@ class PPO:
             else:
                 kl_mean = jnp.zeros(())
 
-            (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                ts.params, mb, mb_ret, mb_adv)
             if self.axis_name is not None:
                 grads = jax.lax.pmean(grads, self.axis_name)
             updates, opt_state = self.optimizer.update(grads, ts.opt_state, ts.params)
             updates = jax.tree.map(lambda u: -lr * u, updates)
             params = optax.apply_updates(ts.params, updates)
-            surrogate_loss, v_loss, est_loss, _, _ = aux
             ts = TrainState(params=params, opt_state=opt_state, lr=lr,
                             update_count=ts.update_count + 1)
             return ts, jnp.stack([v_loss, surrogate_loss, est_loss, kl_mean, lr])

@@ -69,3 +69,11 @@ def minibatch_indices(key, total: int, num_minibatches: int) -> jnp.ndarray:
     batch = total // num_minibatches
     perm = jax.random.permutation(key, total)
     return perm[: batch * num_minibatches].reshape(num_minibatches, batch)
+
+
+# NOTE (measured dead end): frame-based obs storage — keeping only the new
+# 47-dim frame per step and reconstructing the 66-frame windows at update
+# time — saves the scan-side obs writes but pays every byte back
+# materializing the windows before minibatching, and the [N,66,47] reset-mask
+# reshape pads the 47-lane minor dim to 128 on TPU (~3x traffic).  Direct
+# bf16 storage of the flat stacked obs is strictly better; don't revisit.

@@ -251,8 +251,10 @@ class T1DHStandEnv:
             ext_force=jnp.zeros((n, 3)), ext_torque=jnp.zeros((n, 3)),
             ext_force_apply=jnp.zeros((n, 3)), ext_torque_apply=jnp.zeros((n, 3)),
             is_first_push=jnp.asarray(True), is_first_add_force=jnp.asarray(True),
-            obs_hist=jnp.zeros((n, cfg.env.frame_stack, cfg.env.num_single_obs)),
-            critic_hist=jnp.zeros((n, cfg.env.c_frame_stack, self.priv_frame_dim)),
+            obs_hist=jnp.zeros((n, cfg.env.frame_stack * cfg.env.num_single_obs),
+                               jnp.bfloat16),
+            critic_hist=jnp.zeros((n, cfg.env.c_frame_stack * self.priv_frame_dim),
+                                  jnp.bfloat16),
             episode_sums=jnp.zeros((n, self.n_rewards)),
             reset_buf=jnp.zeros((n,), bool), time_out_buf=jnp.zeros((n,), bool),
         )
@@ -486,9 +488,7 @@ class T1DHStandEnv:
                 imu_lag_buffer=to1(imu_lagb), torques=to1(torques),
                 contact_forces=to1(cforces2))
             state, obs, priv_obs, rew, extras = self._post_physics_step(state, k_post)
-            clip_o = cfg.normalization.clip_observations
-            obs = jnp.clip(obs, -clip_o, clip_o)
-            priv_obs = jnp.clip(priv_obs, -clip_o, clip_o)
+            # obs clipping happens per frame inside _compute_observations
             return state, obs, priv_obs, rew, state.reset_buf, extras
 
         def vsub(ph, pr, tau, fr, bf, bt):
@@ -534,10 +534,7 @@ class T1DHStandEnv:
 
         # --- post-physics ---
         state, obs, priv_obs, rew, extras = self._post_physics_step(state, k_post)
-
-        clip_o = cfg.normalization.clip_observations
-        obs = jnp.clip(obs, -clip_o, clip_o)
-        priv_obs = jnp.clip(priv_obs, -clip_o, clip_o)
+        # obs clipping happens per frame inside _compute_observations
         return state, obs, priv_obs, rew, state.reset_buf, extras
 
     def _decimation_megakernel(self, state: EnvState, phys2, params2, actions2,
@@ -1017,13 +1014,23 @@ class T1DHStandEnv:
             noise = (2.0 * jax.random.uniform(key, obs_frame.shape) - 1.0)
             obs_frame = obs_frame + noise * self.noise_scale_vec * cfg.noise.noise_level
 
-        obs_hist = jnp.concatenate([state.obs_hist[:, 1:], obs_frame[:, None]], axis=1)
-        critic_hist = jnp.concatenate([state.critic_hist[:, 1:], priv_frame[:, None]], axis=1)
+        # clip per frame (== clipping the stacked obs, clip is elementwise;
+        # reference legged_robot.py clips the returned obs_buf +-100), then
+        # quantize to the bf16 storage dtype so the frame stored in the
+        # history — and later reconstructed by the PPO minibatcher — is
+        # bit-identical to what the rollout policy consumed.
+        clip_o = cfg.normalization.clip_observations
+        obs_frame = jnp.clip(obs_frame, -clip_o, clip_o).astype(jnp.bfloat16)
+        priv_frame = jnp.clip(priv_frame, -clip_o, clip_o).astype(jnp.bfloat16)
+
+        k_o = cfg.env.num_single_obs
+        k_p = self.priv_frame_dim
+        obs_hist = jnp.concatenate([state.obs_hist[:, k_o:], obs_frame], axis=1)
+        critic_hist = jnp.concatenate([state.critic_hist[:, k_p:], priv_frame], axis=1)
         state = state.replace(obs_hist=obs_hist, critic_hist=critic_hist)
 
-        obs = obs_hist.reshape(n, -1)            # [N, 66*47], oldest first
-        priv_obs = critic_hist.reshape(n, -1)    # [N, 3*73], oldest first
-        return state, obs, priv_obs
+        # the flat history IS the stacked observation (oldest first)
+        return state, obs_hist, critic_hist
 
     def measured_heights(self, state: EnvState) -> jnp.ndarray:
         """Yaw-rotated 187-point height scan around the base (reference
@@ -1115,8 +1122,8 @@ class T1DHStandEnv:
             lag_buffer=jnp.where(done[:, None, None], 0.0, state.lag_buffer),
             dof_lag_buffer=jnp.where(done[:, None, None], 0.0, state.dof_lag_buffer),
             imu_lag_buffer=jnp.where(done[:, None, None], 0.0, state.imu_lag_buffer),
-            obs_hist=jnp.where(done[:, None, None], 0.0, state.obs_hist),
-            critic_hist=jnp.where(done[:, None, None], 0.0, state.critic_hist),
+            obs_hist=jnp.where(done[:, None], 0.0, state.obs_hist).astype(jnp.bfloat16),
+            critic_hist=jnp.where(done[:, None], 0.0, state.critic_hist).astype(jnp.bfloat16),
             episode_sums=jnp.where(m1, 0.0, state.episode_sums),
         )
 

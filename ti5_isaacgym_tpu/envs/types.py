@@ -93,9 +93,13 @@ class EnvState:
     is_first_push: jnp.ndarray        # scalar bool
     is_first_add_force: jnp.ndarray   # scalar bool
 
-    # observation history
-    obs_hist: jnp.ndarray             # [N,66,47] oldest first
-    critic_hist: jnp.ndarray          # [N,3,73] oldest first
+    # observation history — stored FLAT [N, stack*frame] in bfloat16: a
+    # [N,66,47] layout would pad the 47-lane minor dim to 128 on TPU (3x the
+    # HBM traffic of the per-step roll), and bf16 halves it again.  The flat
+    # buffer IS the policy observation (oldest frame first); noise is already
+    # injected per frame, so bf16 rounding is far below the obs noise floor.
+    obs_hist: jnp.ndarray             # [N, 66*47] oldest first, bf16
+    critic_hist: jnp.ndarray          # [N, 3*73] oldest first, bf16
 
     # logging
     episode_sums: jnp.ndarray         # [N, n_reward_terms]
