@@ -139,10 +139,23 @@ class PPO:
         flat_adv = advantages.reshape(-1)
         total = flat_ret.shape[0]
         idx = minibatch_indices(key, total, cfg.num_mini_batches)
+        # shuffle ONCE into [M, B, ...]: the reference reuses the same
+        # permutation across epochs (rollout_storage.py:129-173), so epochs
+        # can scan static minibatch slices of one shuffled copy instead of
+        # re-gathering the full batch every epoch (halves gather traffic).
+        # NB gather with a FLAT index then reshape — a [M, B] index makes
+        # XLA:TPU scalarize the gather (measured 13 s/iter).
+        fidx = idx.reshape(-1)
+        M = cfg.num_mini_batches
+        # rewards/dones are not consumed by the loss — skip their gathers
+        flat = flat._replace(rewards=None, dones=None)
+        mbs = jax.tree.map(
+            lambda x: x[fidx].reshape((M, -1) + x.shape[1:]), flat)
+        mb_rets = flat_ret[fidx].reshape(M, -1)
+        mb_advs = flat_adv[fidx].reshape(M, -1)
 
-        def mb_step(ts: TrainState, mb_idx):
-            mb = jax.tree.map(lambda x: x[mb_idx], flat)
-            mb_ret, mb_adv = flat_ret[mb_idx], flat_adv[mb_idx]
+        def mb_step(ts: TrainState, mb_data):
+            mb, mb_ret, mb_adv = mb_data
 
             (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
                 ts.params, mb, mb_ret, mb_adv)
@@ -173,7 +186,7 @@ class PPO:
             return ts, jnp.stack([v_loss, surrogate_loss, est_loss, kl_mean, lr])
 
         def epoch(ts, _):
-            return jax.lax.scan(mb_step, ts, idx)
+            return jax.lax.scan(mb_step, ts, (mbs, mb_rets, mb_advs))
 
         ts, metrics = jax.lax.scan(epoch, ts, None, length=cfg.num_learning_epochs)
         m = metrics.reshape(-1, metrics.shape[-1]).mean(axis=0)
