@@ -294,11 +294,22 @@ class OnPolicyRunner:
         return path
 
     def load(self, path: str, carry: Optional[RunnerCarry] = None,
-             load_optimizer: bool = True) -> RunnerCarry:
+             load_optimizer: bool = True,
+             params_only: bool = False) -> RunnerCarry:
         import orbax.checkpoint as ocp
 
         if carry is None:
             carry = self.init_carry()
+        if params_only:
+            # Eval-time restore: only the network params (+ lr/iteration
+            # scalars) are taken, so a checkpoint trained at any num_envs
+            # loads into any eval env count (the reference loads only
+            # model_state_dict the same way, dh_on_policy_runner.py:311-322).
+            restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+            self.iteration_count = int(restored["iteration"])
+            ts = carry.ts.replace(params=restored["params"],
+                                  lr=jnp.asarray(restored["lr"]))
+            return carry._replace(ts=ts)
         ckptr = ocp.StandardCheckpointer()
         template = {
             "params": carry.ts.params, "opt_state": carry.ts.opt_state,

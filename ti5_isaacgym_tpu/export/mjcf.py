@@ -56,6 +56,21 @@ def spec_to_mjcf(
             f'rgba="0.6 0.6 0.7 1"/>'
         )
 
+    def link_viz_xml(i, indent):
+        # visual-only capsules from this body's frame to each child joint
+        # origin (contype/conaffinity 0 ⇒ zero effect on the physics oracle)
+        for c in children[i]:
+            j = bodies[c].get("joint")
+            if not j:
+                continue
+            tip = np.asarray(j["origin_pos"], dtype=float)
+            if np.linalg.norm(tip) < 0.02:
+                continue
+            lines.append(
+                f'{indent}<geom type="capsule" size="0.02" fromto="0 0 0 {_fmt(tip)}" '
+                f'contype="0" conaffinity="0" group="1" rgba="0.75 0.55 0.3 1" mass="0"/>'
+            )
+
     def body_xml(i, indent):
         b = bodies[i]
         j = b.get("joint")
@@ -83,14 +98,25 @@ def spec_to_mjcf(
             f'fullinertia="{_fmt(full)}"/>'
         )
         geom_xml(i, indent + "  ")
+        link_viz_xml(i, indent + "  ")
         for c in children[i]:
             body_xml(c, indent + "  ")
         lines.append(f"{indent}</body>")
 
     header = f"""<mujoco model={quoteattr(spec.get('name', 'robot'))}>
   <option timestep="{timestep}" gravity="0 0 -9.81"/>
+  <visual>
+    <headlight ambient="0.4 0.4 0.4" diffuse="0.7 0.7 0.7" specular="0.2 0.2 0.2"/>
+    <rgba haze="0.85 0.9 0.95 1"/>
+  </visual>
+  <asset>
+    <texture type="skybox" builtin="gradient" rgb1="0.5 0.7 0.95" rgb2="0.9 0.95 1" width="64" height="64"/>
+    <texture name="grid" type="2d" builtin="checker" rgb1="0.30 0.35 0.40" rgb2="0.45 0.50 0.55" width="256" height="256"/>
+    <material name="grid" texture="grid" texrepeat="16 16" reflectance="0.1"/>
+  </asset>
   <worldbody>
-    <geom name="floor" type="plane" size="50 50 1" friction="0.6 0.005 0.0001"/>
+    <light pos="0 0 4" dir="0 0 -1" directional="true" diffuse="0.8 0.8 0.8"/>
+    <geom name="floor" type="plane" size="50 50 1" material="grid" friction="0.6 0.005 0.0001"/>
 """
     body_xml(0, "    ")
     body = "\n".join(lines)

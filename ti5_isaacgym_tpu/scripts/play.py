@@ -29,6 +29,10 @@ def get_play_args(argv=None):
     p.add_argument("--command", type=float, nargs=3, default=[0.4, 0.0, 0.0])
     p.add_argument("--export_traj", type=str, default=None,
                    help="write the robot-0 qpos trajectory to this .npz")
+    p.add_argument("--video", type=str, default=None,
+                   help="render the robot-0 trajectory to this .mp4 "
+                        "(offscreen MuJoCo replay; reference play.py records "
+                        "mp4 from the sim camera, :147-207)")
     p.add_argument("--out_dir", type=str, default="eval_out")
     p.add_argument("--random_policy", action="store_true",
                    help="skip checkpoint loading (smoke-testing)")
@@ -72,7 +76,7 @@ def play(args):
         if path is None:
             raise FileNotFoundError(f"no checkpoint found under {root}")
         print(f"loading {path}")
-        carry = runner.load(path, carry)
+        carry = runner.load(path, carry, params_only=True)
     policy = runner.get_inference_policy(carry.ts.params)
 
     logger = Logger(env.dt)
@@ -111,7 +115,7 @@ def play(args):
             logger.log_rewards(
                 {f"rew_{n}": s / max(n_done, 1) for n, s in zip(env.reward_names, sums)},
                 int(n_done))
-        if args.export_traj:
+        if args.export_traj or args.video:
             traj.append(np.concatenate([
                 np.asarray(state.phys.base_pos[robot]),
                 np.asarray(state.phys.base_quat[robot]),
@@ -126,6 +130,11 @@ def play(args):
     if args.export_traj:
         np.savez(args.export_traj, qpos=np.stack(traj), dt=env.dt)
         print(f"wrote {args.export_traj}")
+    if args.video:
+        from ..utils.render import render_trajectory
+
+        render_trajectory(np.stack(traj), env.dt, args.video)
+        print(f"wrote {args.video}")
 
 
 def main(argv=None):
