@@ -479,7 +479,7 @@ class T1DHStandEnv:
 
         dr = cfg.domain_rand
         if getattr(cfg.sim, "megakernel", True) and rows == 8:
-            (phys2, lagb, dof_lagb, imu_lagb, torques, cforces2) = \
+            (phys2, lagb, dof_lagb, imu_lagb, torques, cforces2, cx) = \
                 self._decimation_megakernel(state, phys2, params2, actions2,
                                             cells2, ext_f2, ext_t2, k_sub)
             state = state.replace(
@@ -487,7 +487,10 @@ class T1DHStandEnv:
                 lag_buffer=to1(lagb), dof_lag_buffer=to1(dof_lagb),
                 imu_lag_buffer=to1(imu_lagb), torques=to1(torques),
                 contact_forces=to1(cforces2))
-            state, obs, priv_obs, rew, extras = self._post_physics_step(state, k_post)
+            # kernel-emitted post-step FK rows ([24, 8, M] -> [24, N])
+            kin_rows = cx.reshape(cx.shape[0], n)
+            state, obs, priv_obs, rew, extras = self._post_physics_step(
+                state, k_post, kin_rows=kin_rows)
             # obs clipping happens per frame inside _compute_observations
             return state, obs, priv_obs, rew, state.reset_buf, extras
 
@@ -612,13 +615,15 @@ class T1DHStandEnv:
             noise_rows = jnp.ones((dec * nd, rows8, m), jnp.float32)
         extw_rows = jnp.concatenate([lead(ext_f2), lead(ext_t2)], axis=0)
 
-        st, an, fo, tq, ds, iss = run_decimation(
+        st, an, fo, tq, ds, iss, cx = run_decimation(
             mc, self.heightfield.hscale, self.copts, self.sopts, dec,
             np.asarray(self.default_dof_pos), np.asarray(self.torque_limits),
             np.asarray(self.cp_meff), dr.randomize_coulomb_friction,
             dr.randomize_torque, state_rows, anchor_rows, cell_rows, dyn_rows,
             ctrl_rows, lagged_rows, noise_rows, extw_rows,
-            interpret=self._mega_interpret)
+            interpret=self._mega_interpret,
+            feet_bodies=list(self.model.feet_bodies),
+            knee_bodies=list(self.model.knee_bodies))
 
         def unlead(x):  # [C, 8, M] -> [8, M, C]
             return jnp.moveaxis(x, 0, -1)
@@ -651,22 +656,57 @@ class T1DHStandEnv:
             imu_lagb = jnp.concatenate(
                 [snaps[..., :min(dec, Li)], imu_lagb[..., :max(Li - dec, 0)]],
                 axis=-1)
-        return phys_out, new_lagb, dof_lagb, imu_lagb, torques, cforces
+        return phys_out, new_lagb, dof_lagb, imu_lagb, torques, cforces, cx
 
-    def _make_ctx(self, state: EnvState) -> StepCtx:
+    def _make_ctx(self, state: EnvState, kin_rows=None) -> StepCtx:
         from ..physics.engine_core import ctx_kinematics
 
         model = self.model
         feet = list(model.feet_bodies)
         n = state.phys.base_pos.shape[0]
-        # component-form FK in the (8, N/8) layout (see step()) — the
-        # array-of-structures vmapped dyn.fk costs ~2 ms at 4096 envs,
-        # this path ~0.3 ms
-        rows = 8 if n % 8 == 0 else 1
-        phys2 = jax.tree.map(
-            lambda x: x.reshape((rows, n // rows) + x.shape[1:]), state.phys)
-        k = ctx_kinematics(model, phys2)
-        k = jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), k)
+        if kin_rows is not None:
+            # feet/knee kinematics emitted by the decimation megakernel
+            # (engine_core.ctx_stack_rows layout) — i.e. FK of the PRE-event
+            # post-step state.  This matches the reference, where pushes
+            # overwrite the root-state tensor but the rigid-body state tensor
+            # (feet pose/velocity) is not refreshed again before rewards
+            # (legged_robot.py:465-471, t1_dh_stand_env.py:217-231).  Root
+            # world velocity is recomputed from the live (post-push) state
+            # below, matching the reference's root_states read.
+            k2 = kin_rows
+            feet_pos = jnp.stack(
+                [jnp.stack([k2[3 * f], k2[3 * f + 1], k2[3 * f + 2]], axis=-1)
+                 for f in range(2)], axis=-2)                       # [N,2,3]
+            eulers = []
+            for f in range(2):
+                r00, r10, r20, r21, r22 = (k2[6 + 5 * f + i] for i in range(5))
+                roll = jnp.arctan2(r21, r22)
+                pitch = jnp.arcsin(jnp.clip(-r20, -1.0, 1.0))
+                yaw = jnp.arctan2(r10, r00)
+                eulers.append(jnp.stack([roll, pitch, yaw], axis=-1))
+            feet_euler = jnp.stack(eulers, axis=-2)                 # [N,2,3]
+            feet_angvel_xy = jnp.stack(
+                [jnp.stack([k2[16 + 2 * f], k2[17 + 2 * f]], axis=-1)
+                 for f in range(2)], axis=-2)                       # [N,2,2]
+            knee_xy = jnp.stack(
+                [jnp.stack([k2[20 + 2 * f], k2[21 + 2 * f]], axis=-1)
+                 for f in range(2)], axis=-2)                       # [N,2,2]
+            root_vel_world = self._root_vel_world(state)
+        else:
+            # component-form FK in the (8, N/8) layout (see step()) — the
+            # array-of-structures vmapped dyn.fk costs ~2 ms at 4096 envs,
+            # this path ~0.3 ms
+            rows = 8 if n % 8 == 0 else 1
+            phys2 = jax.tree.map(
+                lambda x: x.reshape((rows, n // rows) + x.shape[1:]), state.phys)
+            k = ctx_kinematics(model, phys2)
+            k = jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), k)
+            feet_pos = k["feet_pos"]
+            feet_euler = k["feet_euler"]
+            feet_angvel_xy = k["feet_angvel_xy"]
+            knee_xy = k["knee_xy"]
+            root_vel_world = jnp.concatenate(
+                [k["root_lin_w"], k["root_ang_w"]], -1)
         base_euler = sp.quat_to_euler_xyz(state.phys.base_quat)
         grav = jnp.asarray([0.0, 0.0, -1.0])
         proj_grav = sp.quat_rotate_inverse(state.phys.base_quat,
@@ -675,16 +715,16 @@ class T1DHStandEnv:
             base_lin_vel=state.phys.base_vel[:, 3:],
             base_ang_vel=state.phys.base_vel[:, :3],
             base_euler=base_euler, projected_gravity=proj_grav,
-            root_vel_world=jnp.concatenate([k["root_lin_w"], k["root_ang_w"]], -1),
-            feet_pos=k["feet_pos"],
-            feet_euler=k["feet_euler"],
-            feet_angvel_xy=k["feet_angvel_xy"],
-            knee_xy=k["knee_xy"],
+            root_vel_world=root_vel_world,
+            feet_pos=feet_pos,
+            feet_euler=feet_euler,
+            feet_angvel_xy=feet_angvel_xy,
+            knee_xy=knee_xy,
             contact=state.contact_forces[:, feet, 2] > 5.0,
             stand_command=self._stand_command(state.commands),
         )
 
-    def _post_physics_step(self, state: EnvState, key):
+    def _post_physics_step(self, state: EnvState, key, kin_rows=None):
         cfg = self.cfg
         k_ev, k_reset, k_obs, k_cmd = jax.random.split(key, 4)
 
@@ -705,7 +745,7 @@ class T1DHStandEnv:
                 phase_length=jnp.where(stand, 0, state.phase_length))
         state = self._events(state, k_ev)
 
-        ctx = self._make_ctx(state)
+        ctx = self._make_ctx(state, kin_rows=kin_rows)
 
         # termination (reference legged_robot.py:509-517)
         term = list(self.model.termination_bodies)

@@ -157,6 +157,66 @@ def substep_batched(
     return new_state, body_forces
 
 
+def fk_components(mc: ModelConsts, bp, bq, bw, bv, qpos, qvel):
+    """Component-form forward kinematics over the tree.
+
+    Inputs are V3/quat tuples (base) and length-nd lists (joints) of
+    arbitrarily-batched arrays; returns (pos, rot, w, v, R_pc) lists indexed
+    by body — world position, world rotation (M33 tuple), body-frame angular
+    and linear velocity, and the parent→child joint rotation.  Pure
+    elementwise math: safe inside a Pallas kernel.
+    """
+    nb = mc.nb
+    parent, axis_c, jpos_c = mc.parent, mc.axis_c, mc.jpos_c
+    jrot_c, jrot_identity = mc.jrot_c, mc.jrot_identity
+    pos = [bp]
+    rot = [s3.q_to_m33(bq)]
+    w = [bw]
+    v = [bv]
+    R_pc = [None] * nb
+    for i in range(1, nb):
+        p = parent[i]
+        j = i - 1
+        qj = s3.q_from_axis_angle(axis_c[i], qpos[j])
+        Rj = s3.q_to_m33(qj)
+        Rpc = Rj if jrot_identity[i] else s3.m33_mm(jrot_c[i], Rj)
+        R_pc[i] = Rpc
+        rot.append(s3.m33_mm(rot[p], Rpc))
+        pos.append(s3.v3_add(pos[p], s3.m33_mv(rot[p], jpos_c[i])))
+        w.append(s3.v3_add(s3.m33_tmv(Rpc, w[p]), s3.v3_scale(axis_c[i], qvel[j])))
+        v.append(s3.m33_tmv(Rpc, s3.v3_add(v[p], s3.v3_cross(w[p], jpos_c[i]))))
+    return pos, rot, w, v, R_pc
+
+
+def ctx_stack_rows(mc: ModelConsts, feet: list, knees: list,
+                   bp, bq, bw, bv, qpos, qvel):
+    """Post-step reward/termination kinematics as a flat row list (24 rows):
+
+      0:6   feet world position      (foot0 xyz | foot1 xyz)
+      6:16  feet rotation entries    (R00,R10,R20,R21,R22 per foot — exactly
+            what the RPY extraction needs; atan2/asin run OUTSIDE the kernel
+            on the emitted rows, Mosaic has no atan2)
+      16:20 feet world angular vel   (wx,wy per foot — foot_slip reward)
+      20:24 knee world xy            (knee-distance reward)
+
+    Shared by the Pallas megakernel (emitted as an extra output once per
+    policy step) and usable from any component-form caller.
+    """
+    pos, rot, w, _, _ = fk_components(mc, bp, bq, bw, bv, qpos, qvel)
+    rows = []
+    for b in feet:
+        rows += [pos[b][0], pos[b][1], pos[b][2]]
+    for b in feet:
+        R = rot[b]
+        rows += [R[0][0], R[1][0], R[2][0], R[2][1], R[2][2]]
+    for b in feet:
+        ww = s3.m33_mv(rot[b], w[b])
+        rows += [ww[0], ww[1]]
+    for b in knees:
+        rows += [pos[b][0], pos[b][1]]
+    return rows
+
+
 def substep_stacked(mc: ModelConsts, hscale: float, copts: ContactOpts,
                     sopts: SolverOpts, comps: dict, cells=None, cp_meff=None,
                     sample_fn=None, _ablate: str = "") -> dict:
@@ -190,22 +250,7 @@ def substep_stacked(mc: ModelConsts, hscale: float, copts: ContactOpts,
     bf, bt = comps.get("bf"), comps.get("bt")
 
     # --- FK (component form) ---
-    pos = [bp]
-    rot = [s3.q_to_m33(bq)]
-    w = [bw]
-    v = [bv]
-    R_pc = [None] * nb
-    for i in range(1, nb):
-        p = parent[i]
-        j = i - 1
-        qj = s3.q_from_axis_angle(axis_c[i], qpos[j])
-        Rj = s3.q_to_m33(qj)
-        Rpc = Rj if jrot_identity[i] else s3.m33_mm(jrot_c[i], Rj)
-        R_pc[i] = Rpc
-        rot.append(s3.m33_mm(rot[p], Rpc))
-        pos.append(s3.v3_add(pos[p], s3.m33_mv(rot[p], jpos_c[i])))
-        w.append(s3.v3_add(s3.m33_tmv(Rpc, w[p]), s3.v3_scale(axis_c[i], qvel[j])))
-        v.append(s3.m33_tmv(Rpc, s3.v3_add(v[p], s3.v3_cross(w[p], jpos_c[i]))))
+    pos, rot, w, v, R_pc = fk_components(mc, bp, bq, bw, bv, qpos, qvel)
 
     # --- contact: all points' world kinematics ---
     pw = []   # list of V3

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import spatial3 as s3
 from .contact import CellCache, ContactOpts
 from .engine import SolverOpts
-from .engine_core import ModelConsts, substep_stacked
+from .engine_core import ModelConsts, ctx_stack_rows, substep_stacked
 
 
 def _rows(xs):
@@ -72,12 +72,21 @@ def run_decimation(
     meff_rows: jnp.ndarray = None,  # [2*ncp, 8, M] contact apparent masses
     interpret: bool = False,
     lane_chunk: int = 128,
+    feet_bodies: list = None,       # body indices for the ctx output
+    knee_bodies: list = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """One launch for the whole decimation loop.
 
     Returns (state_rows' [37], anchor_rows' [3*ncp], force_rows [3*nb],
     torque_rows [nd], dof_snap_rows [dec*2*nd] newest-LAST,
-    imu_snap_rows [dec*7: angvel3+quat4] newest-LAST), all [rows, 8, M].
+    imu_snap_rows [dec*7: angvel3+quat4] newest-LAST,
+    ctx_rows [24] — post-step feet/knee kinematics, see
+    :func:`~ti5_isaacgym_tpu.physics.engine_core.ctx_stack_rows`; emitted
+    only when ``feet_bodies``/``knee_bodies`` are given), all [rows, 8, M].
+
+    The ctx output folds the env's post-physics FK (reward/termination
+    context) into the same launch: one extra component-form FK on the final
+    state instead of a separate ~1.4 ms XLA kernel chain per policy step.
     """
     nb, nd, ncp = mc.nb, mc.nd, mc.ncp
     dec = int(decimation)
@@ -90,8 +99,11 @@ def run_decimation(
             jnp.asarray(cp_meff.T.reshape(2 * ncp), jnp.float32)[:, None, None],
             (2 * ncp, eight, m))
 
+    with_ctx = feet_bodies is not None and knee_bodies is not None
+
     def kernel(st_ref, an_ref, cl_ref, dy_ref, ct_ref, la_ref, no_ref, ew_ref,
-               me_ref, st_out, an_out, fo_out, tq_out, ds_out, is_out):
+               me_ref, st_out, an_out, fo_out, tq_out, ds_out, is_out,
+               cx_out=None):
         st = st_ref[...]
         an = an_ref[...]
         cl = cl_ref[...]
@@ -180,6 +192,10 @@ def run_decimation(
         st_out[...] = _rows(list(bp) + list(bq) + list(bw) + list(bv)
                             + list(qpos) + list(qvel))
         an_out[...] = jnp.concatenate([ax_, ay_, az_], axis=0)
+        if with_ctx:
+            cx_out[...] = _rows(ctx_stack_rows(
+                mc, feet_bodies, knee_bodies, bp, bq, bw, bv,
+                list(qpos), list(qvel)))
 
     ch = min(lane_chunk, m)
     grid = (pl.cdiv(m, ch),)
@@ -189,6 +205,8 @@ def run_decimation(
                             memory_space=pltpu.VMEM)
 
     out_rows = (37, 3 * ncp, 3 * nb, nd, dec * 2 * nd, dec * 7)
+    if with_ctx:
+        out_rows = out_rows + (24,)
     out_shape = tuple(jax.ShapeDtypeStruct((r, eight, m), jnp.float32)
                       for r in out_rows)
     fn = pl.pallas_call(
