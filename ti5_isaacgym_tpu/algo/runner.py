@@ -11,7 +11,9 @@ from __future__ import annotations
 
 import csv
 import os
+import shutil
 import time
+from collections import deque
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -187,7 +189,13 @@ class OnPolicyRunner:
         save_interval = self.train_cfg.runner.save_interval
         n_envs = self.env.num_envs
         samples_per_iter = n_envs * self.num_steps_per_env
-        done_total, ep_rew_total, ep_len_total = 0.0, 0.0, 0.0
+        # 100-episode sliding window, like the reference's deque(maxlen=100)
+        # (dh_on_policy_runner.py:115-117).  The jitted iteration only emits
+        # per-iteration (count, reward_sum, length_sum) aggregates, so the
+        # window is a deque of those triples trimmed to ~100 episodes — the
+        # stats read out the CURRENT policy, not a lifetime running mean.
+        ep_window: deque = deque()
+        win_count = win_rew = win_len = 0.0
         t_start = time.time()
         for it in range(num_iterations):
             t0 = time.time()
@@ -195,11 +203,19 @@ class OnPolicyRunner:
             metrics = jax.tree.map(np.asarray, jax.device_get(metrics))
             dt_iter = time.time() - t0
             self.iteration_count += 1
-            done_total += float(metrics["done_count"])
-            ep_rew_total += float(metrics["ep_reward_sum"])
-            ep_len_total += float(metrics["ep_len_sum"])
-            mean_ep_rew = ep_rew_total / max(done_total, 1)
-            mean_ep_len = ep_len_total / max(done_total, 1)
+            d = float(metrics["done_count"])
+            ep_window.append((d, float(metrics["ep_reward_sum"]),
+                              float(metrics["ep_len_sum"])))
+            win_count += d
+            win_rew += float(metrics["ep_reward_sum"])
+            win_len += float(metrics["ep_len_sum"])
+            while len(ep_window) > 1 and win_count - ep_window[0][0] >= 100.0:
+                c0, r0, l0 = ep_window.popleft()
+                win_count -= c0
+                win_rew -= r0
+                win_len -= l0
+            mean_ep_rew = win_rew / max(win_count, 1)
+            mean_ep_len = win_len / max(win_count, 1)
             fps = samples_per_iter / dt_iter
             if self.log_dir:
                 self._log_csv(metrics, mean_ep_rew, mean_ep_len, fps)
@@ -273,7 +289,8 @@ class OnPolicyRunner:
 
     # --- checkpointing (orbax; reference torch.save dict :293-308) ----
 
-    def save(self, carry: RunnerCarry, path: Optional[str] = None):
+    def save(self, carry: RunnerCarry, path: Optional[str] = None,
+             keep_last: int = 4, milestone_every: int = 25000):
         import orbax.checkpoint as ocp
 
         path = path or os.path.join(self.log_dir, f"model_{self.iteration_count}")
@@ -291,7 +308,28 @@ class OnPolicyRunner:
         }
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
+        self._prune_checkpoints(keep_last, milestone_every)
         return path
+
+    def _prune_checkpoints(self, keep_last: int, milestone_every: int):
+        """Retain the most recent ``keep_last`` full checkpoints plus one
+        every ``milestone_every`` iterations; delete the rest (full
+        checkpoints carry the whole env state, ~100 MB each — a 200k-iter
+        run would otherwise fill the disk)."""
+        if not self.log_dir or keep_last <= 0:
+            return
+        found = []
+        for name in os.listdir(self.log_dir):
+            if name.startswith("model_"):
+                try:
+                    found.append((int(name.split("_", 1)[1]), name))
+                except ValueError:
+                    continue
+        found.sort()
+        for it, name in found[:-keep_last] if len(found) > keep_last else []:
+            if milestone_every and it % milestone_every == 0:
+                continue
+            shutil.rmtree(os.path.join(self.log_dir, name), ignore_errors=True)
 
     def load(self, path: str, carry: Optional[RunnerCarry] = None,
              load_optimizer: bool = True,
