@@ -61,3 +61,59 @@ def test_megakernel_matches_scan_path():
                                    np.asarray(sb.dof_lag_buffer), atol=2e-4)
         np.testing.assert_allclose(np.asarray(sa.imu_lag_buffer),
                                    np.asarray(sb.imu_lag_buffer), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_megakernel_matches_scan_path_under_events():
+    """Parity must hold WITH pushes + external forces enabled (VERDICT r1
+    weak #6): both paths must produce identical rewards and reward context,
+    which pins the documented pre-push feet-FK semantics — the megakernel
+    emits feet kinematics before _events runs, and the fallback now computes
+    its FK from the pre-event state too."""
+    over = dict(push_robots=True, add_ext_force=True,
+                # trigger events immediately and often
+                push_interval_s=0.03, update_step=24, push_duration=(0.02,),
+                ext_force_interval_s=0.03, add_update_step=24,
+                add_duration=(0.02,))
+
+    def mk(megakernel):
+        cfg = T1EnvCfg()
+        cfg = dataclasses.replace(
+            cfg,
+            env=dataclasses.replace(cfg.env, num_envs=16),
+            sim=dataclasses.replace(cfg.sim, megakernel=megakernel),
+            domain_rand=dataclasses.replace(cfg.domain_rand,
+                                            randomize_torque=False, **over),
+            terrain=dataclasses.replace(cfg.terrain, num_rows=2, num_cols=2,
+                                        border_size=2.0),
+        )
+        return T1DHStandEnv(cfg, seed=0)
+
+    env_a, env_b = mk(False), mk(True)
+    key = jax.random.PRNGKey(7)
+    s0 = jax.jit(env_a.init_state)(key)
+    step_a = jax.jit(env_a.step)
+    step_b = jax.jit(env_b.step)
+
+    sa = sb = s0
+    rng = np.random.RandomState(1)
+    pushed = False
+    for i in range(4):
+        act = jnp.asarray(rng.uniform(-1, 1, size=(16, 12)).astype(np.float32))
+        sa, oa, pa, ra, da, _ = step_a(sa, act)
+        sb, ob, pb, rb, db, _ = step_b(sb, act)
+        pushed = pushed or bool(jnp.any(sa.push_force != 0.0))
+        np.testing.assert_allclose(np.asarray(sa.phys.qpos),
+                                   np.asarray(sb.phys.qpos),
+                                   atol=2e-4, err_msg=f"step {i} qpos")
+        # REWARD parity: same reward context (incl. pre-push feet FK) on both
+        # paths — rewards are O(0.01-1), so atol reflects f32 FK noise
+        np.testing.assert_allclose(np.asarray(ra), np.asarray(rb),
+                                   atol=1e-4, err_msg=f"step {i} rewards")
+        np.testing.assert_allclose(np.asarray(sa.episode_sums),
+                                   np.asarray(sb.episode_sums),
+                                   atol=1e-3, err_msg=f"step {i} episode sums")
+        np.testing.assert_allclose(
+            np.asarray(oa, np.float32), np.asarray(ob, np.float32),
+            atol=1e-2, err_msg=f"step {i} obs")
+    assert pushed, "push window never triggered — config override broken"

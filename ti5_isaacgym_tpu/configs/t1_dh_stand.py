@@ -183,7 +183,11 @@ class DomainRandSection:
     dof_lag_timesteps_range: Tuple[int, int] = (0, 30)
 
     add_dof_pos_vel_lag: bool = False
+    randomize_dof_pos_lag_timesteps: bool = True
+    randomize_dof_pos_lag_timesteps_perstep: bool = False
     dof_pos_lag_timesteps_range: Tuple[int, int] = (7, 25)
+    randomize_dof_vel_lag_timesteps: bool = True
+    randomize_dof_vel_lag_timesteps_perstep: bool = False
     dof_vel_lag_timesteps_range: Tuple[int, int] = (7, 25)
 
     add_imu_lag: bool = True

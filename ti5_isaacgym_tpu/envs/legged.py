@@ -52,20 +52,25 @@ def sample_rigid_body_params(cfg: T1EnvCfg, model: RobotModel, key, n: int) -> T
         com = com.at[:, 0, :].add(disp)
 
     if dr.randomize_friction:
-        # friction buckets (reference :797-824): 256 quantized values
+        # friction + restitution buckets (reference :797-824): 256 quantized
+        # value pairs, both drawn through the SAME per-env bucket id exactly
+        # like the reference's `bucket_ids` indexing both bucket tables
         num_buckets = 256
         buckets = _u(ks[3], (num_buckets,), *dr.friction_range)
+        rest_buckets = _u(ks[5], (num_buckets,), *dr.restitution_range)
         bucket_ids = jax.random.randint(ks[4], (n,), 0, num_buckets)
         friction = buckets[bucket_ids]
+        restitution = rest_buckets[bucket_ids]
     else:
         friction = jnp.full((n,), cfg.terrain.static_friction)
+        restitution = jnp.full((n,), cfg.terrain.restitution)
 
     body_mass = mass[:, 0]
     params = dyn.DynamicsParams(
         mass=mass, com=com, inertia=inertia,
         armature=jnp.zeros((n, model.num_dof), jnp.float32),
     )
-    return params, friction, body_mass
+    return params, friction, body_mass, restitution
 
 
 def sample_dof_params(cfg: T1EnvCfg, key, n: int, p_gains_nom, d_gains_nom):
@@ -101,20 +106,44 @@ def sample_dof_params(cfg: T1EnvCfg, key, n: int, p_gains_nom, d_gains_nom):
 
 
 def sample_lag_steps(cfg: T1EnvCfg, key, n: int):
+    """(Re)sample every lag index (reference ``randomize_lag_props``,
+    ``legged_robot.py:604-652``).  Where per-step re-randomization is on, the
+    reset value is the range maximum — the reference resets
+    ``last_X_lag_timestep`` to ``range[1]`` and the per-step resample
+    (:func:`perstep_lag_update`) immediately replaces the index anyway."""
     dr = cfg.domain_rand
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
 
-    def pick(k, enabled, randomized, rng_range):
+    def pick(k, enabled, randomized, rng_range, perstep=False):
         if not enabled:
             return jnp.zeros((n,), jnp.int32)
-        if randomized:
-            return jax.random.randint(k, (n,), rng_range[0], rng_range[1] + 1)
-        return jnp.full((n,), rng_range[1], jnp.int32)
+        if perstep or not randomized:
+            return jnp.full((n,), rng_range[1], jnp.int32)
+        return jax.random.randint(k, (n,), rng_range[0], rng_range[1] + 1)
 
-    lag = pick(k1, dr.add_lag, dr.randomize_lag_timesteps, dr.lag_timesteps_range)
-    dof_lag = pick(k2, dr.add_dof_lag, dr.randomize_dof_lag_timesteps, dr.dof_lag_timesteps_range)
-    imu_lag = pick(k3, dr.add_imu_lag, dr.randomize_imu_lag_timesteps, dr.imu_lag_timesteps_range)
-    return lag, dof_lag, imu_lag
+    lag = pick(k1, dr.add_lag, dr.randomize_lag_timesteps,
+               dr.lag_timesteps_range, dr.randomize_lag_timesteps_perstep)
+    dof_lag = pick(k2, dr.add_dof_lag, dr.randomize_dof_lag_timesteps,
+                   dr.dof_lag_timesteps_range, dr.randomize_dof_lag_timesteps_perstep)
+    imu_lag = pick(k3, dr.add_imu_lag, dr.randomize_imu_lag_timesteps,
+                   dr.imu_lag_timesteps_range, dr.randomize_imu_lag_timesteps_perstep)
+    dof_pos_lag = pick(k4, dr.add_dof_pos_vel_lag, dr.randomize_dof_pos_lag_timesteps,
+                       dr.dof_pos_lag_timesteps_range,
+                       dr.randomize_dof_pos_lag_timesteps_perstep)
+    dof_vel_lag = pick(k5, dr.add_dof_pos_vel_lag, dr.randomize_dof_vel_lag_timesteps,
+                       dr.dof_vel_lag_timesteps_range,
+                       dr.randomize_dof_vel_lag_timesteps_perstep)
+    return lag, dof_lag, imu_lag, dof_pos_lag, dof_vel_lag
+
+
+def perstep_lag_update(key, last, rng_range):
+    """Per-step lag re-randomization with the reference's causality clamp:
+    a fresh uniform draw, but the index may grow by at most +1 from the
+    previous step (a sensor cannot skip backwards in time), then becomes the
+    new ``last`` (reference ``legged_robot.py:1038-1045`` /
+    ``t1_dh_stand_env.py:408-443``)."""
+    new = jax.random.randint(key, last.shape, rng_range[0], rng_range[1] + 1)
+    return jnp.minimum(new, last + 1)
 
 
 # ---------------------------------------------------------------------------
@@ -138,12 +167,21 @@ def compute_torques(cfg: T1EnvCfg, params: EnvParams, torque_limits, default_dof
     """PD torque law with action lag, coulomb/viscous friction, and fresh
     per-substep torque-multiplier noise (the reference resamples
     ``torque_multi`` inside ``_compute_torques`` on every 1 kHz call,
-    ``legged_robot.py:1069-1072`` — an intentional white-noise actuator gain)."""
+    ``legged_robot.py:1069-1072`` — an intentional white-noise actuator gain).
+
+    Returns ``(torques, lag_buffer, lag_steps)`` — ``lag_steps`` differs from
+    ``params.lag_steps`` only under ``randomize_lag_timesteps_perstep``, where
+    the action-lag index is re-drawn on every 1 kHz call with the causality
+    clamp (reference ``legged_robot.py:1038-1045``)."""
     dr = cfg.domain_rand
+    k_lag, k_noise = jax.random.split(key)
     actions_scaled = actions * cfg.control.action_scale
+    lag_steps = params.lag_steps
     if dr.add_lag:
         lag_buffer = push_ring(lag_buffer, actions_scaled)
-        lagged = read_ring(lag_buffer, params.lag_steps)
+        if dr.randomize_lag_timesteps and dr.randomize_lag_timesteps_perstep:
+            lag_steps = perstep_lag_update(k_lag, lag_steps, dr.lag_timesteps_range)
+        lagged = read_ring(lag_buffer, lag_steps)
     else:
         lagged = actions_scaled
     torques = (params.p_gains * (lagged + default_dof_pos - qpos + params.motor_offsets)
@@ -151,9 +189,9 @@ def compute_torques(cfg: T1EnvCfg, params: EnvParams, torque_limits, default_dof
     if dr.randomize_coulomb_friction:
         torques = torques - params.joint_viscous * qvel - params.joint_coulomb * jnp.sign(qvel)
     if dr.randomize_torque:
-        mult = _u(key, actions.shape, *dr.torque_multiplier_range)
+        mult = _u(k_noise, actions.shape, *dr.torque_multiplier_range)
         torques = torques * mult
-    return jnp.clip(torques, -torque_limits, torque_limits), lag_buffer
+    return jnp.clip(torques, -torque_limits, torque_limits), lag_buffer, lag_steps
 
 
 # ---------------------------------------------------------------------------

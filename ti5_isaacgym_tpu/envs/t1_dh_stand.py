@@ -185,14 +185,17 @@ class T1DHStandEnv:
         nb, ncp = self.model.nb, self.model.cp_pos.shape[0]
         ks = jax.random.split(key, 8)
 
-        dparams, friction, body_mass = legged.sample_rigid_body_params(cfg, self.model, ks[0], n)
+        dparams, friction, body_mass, restitution = legged.sample_rigid_body_params(
+            cfg, self.model, ks[0], n)
         p, d, offs, coul, visc, arm = legged.sample_dof_params(
             cfg, ks[1], n, self.p_gains_nom, self.d_gains_nom)
-        lag, dof_lag, imu_lag = legged.sample_lag_steps(cfg, ks[2], n)
+        lag, dof_lag, imu_lag, dp_lag, dv_lag = legged.sample_lag_steps(cfg, ks[2], n)
         params = EnvParams(
-            dynamics=dparams.replace(armature=arm), friction=friction, body_mass=body_mass,
+            dynamics=dparams.replace(armature=arm), friction=friction,
+            restitution=restitution, body_mass=body_mass,
             p_gains=p, d_gains=d, motor_offsets=offs, joint_coulomb=coul,
-            joint_viscous=visc, lag_steps=lag, dof_lag_steps=dof_lag, imu_lag_steps=imu_lag)
+            joint_viscous=visc, lag_steps=lag, dof_lag_steps=dof_lag,
+            imu_lag_steps=imu_lag, dof_pos_lag_steps=dp_lag, dof_vel_lag_steps=dv_lag)
 
         # terrain level/type assignment (reference _get_env_origins :1477-1494)
         if self.custom_origins:
@@ -222,7 +225,13 @@ class T1DHStandEnv:
             cp_anchor=jnp.zeros((n, ncp, 3)))
 
         L = cfg.domain_rand.lag_timesteps_range[1] + 1
+        # the dof ring serves both the shared (add_dof_lag) and the split
+        # pos/vel (add_dof_pos_vel_lag) sensor-lag modes — size it for the
+        # largest enabled read index
         Ld = cfg.domain_rand.dof_lag_timesteps_range[1] + 1
+        if cfg.domain_rand.add_dof_pos_vel_lag:
+            Ld = max(Ld, cfg.domain_rand.dof_pos_lag_timesteps_range[1] + 1,
+                     cfg.domain_rand.dof_vel_lag_timesteps_range[1] + 1)
         Li = cfg.domain_rand.imu_lag_timesteps_range[1] + 1
         state = EnvState(
             phys=phys, params=params, rng=ks[4],
@@ -338,7 +347,7 @@ class T1DHStandEnv:
         keys = jax.random.split(key, len(cfg.gait))
         for i, name in enumerate(cfg.gait):
             mask = state.episode_length == state.gait_time[:, i]
-            k1, k2, k3 = jax.random.split(keys[i], 3)
+            k1, k2, k3, k4 = jax.random.split(keys[i], 4)
             if name == "stand":
                 new = jnp.zeros((n, 3))
             elif name == "walk_sagittal":
@@ -363,7 +372,18 @@ class T1DHStandEnv:
                                         minval=cfg.ranges.ang_vel_yaw[0],
                                         maxval=cfg.ranges.ang_vel_yaw[1])
                 new = jnp.stack([vx, vy, wz], -1)
-            cmds = jnp.where(mask[:, None], cmds.at[:, :3].set(new), cmds)
+            if cfg.heading_command and name != "stand":
+                # heading mode (reference legged_robot.py:1009-1010): sample a
+                # world-frame heading TARGET into commands[:, 3]; the yaw-rate
+                # command is recomputed from the heading error every step in
+                # _post_physics_step (:951-954), so the sampled wz is dropped.
+                h = jax.random.uniform(k4, (n,), minval=cfg.ranges.heading[0],
+                                       maxval=cfg.ranges.heading[1])
+                new4 = jnp.concatenate(
+                    [new[:, :2], jnp.zeros((n, 1)), h[:, None]], -1)
+                cmds = jnp.where(mask[:, None], new4, cmds)
+            else:
+                cmds = jnp.where(mask[:, None], cmds.at[:, :3].set(new), cmds)
         return state.replace(commands=cmds)
 
     # ------------------------------------------------------------------
@@ -478,7 +498,13 @@ class T1DHStandEnv:
                 phys2.base_pos[..., 1], px0, py0)
 
         dr = cfg.domain_rand
-        if getattr(cfg.sim, "megakernel", True) and rows == 8:
+        # per-substep action-lag re-randomization mutates the lag index inside
+        # the decimation loop — only the scan path implements it (the
+        # megakernel resolves the action lag outside the kernel); the
+        # reference keeps this flag always-False for t1
+        use_mk = (getattr(cfg.sim, "megakernel", True) and rows == 8
+                  and not (dr.add_lag and dr.randomize_lag_timesteps_perstep))
+        if use_mk:
             (phys2, lagb, dof_lagb, imu_lagb, torques, cforces2, cx) = \
                 self._decimation_megakernel(state, phys2, params2, actions2,
                                             cells2, ext_f2, ext_t2, k_sub)
@@ -497,14 +523,15 @@ class T1DHStandEnv:
         def vsub(ph, pr, tau, fr, bf, bt):
             return substep_batched(self.model, pr, hf, self.copts,
                                    self.sopts, ph, tau, fr, self.cp_meff, bf, bt,
-                                   cell_cache=cells2)
+                                   cell_cache=cells2,
+                                   restitution=params2.restitution)
 
         def sub_fn(carry, inp):
-            phys, lagb, dof_lagb, imu_lagb, torques = carry
+            phys, lagb, dof_lagb, imu_lagb, torques, lag_steps = carry
             idx, k = inp
-            torques, lagb = legged.compute_torques(
-                cfg, params2, self.torque_limits, self.default_dof_pos,
-                lagb, actions2, phys.qpos, phys.qvel, k)
+            torques, lagb, lag_steps = legged.compute_torques(
+                cfg, params2.replace(lag_steps=lag_steps), self.torque_limits,
+                self.default_dof_pos, lagb, actions2, phys.qpos, phys.qvel, k)
             # external wrench applies to the first substep only (Isaac Gym
             # per-step applied-force semantics)
             on = (idx == 0).astype(jnp.float32)
@@ -512,20 +539,21 @@ class T1DHStandEnv:
             bt = ext_t2 * on
             phys, cforces = vsub(phys, params2.dynamics, torques,
                                  params2.friction, bf, bt)
-            if dr.add_dof_lag:
+            if dr.add_dof_lag or dr.add_dof_pos_vel_lag:
                 dof_lagb = legged.push_ring(
                     dof_lagb, jnp.concatenate([phys.qpos, phys.qvel], -1))
             if dr.add_imu_lag:
                 euler = sp.quat_to_euler_xyz(phys.base_quat)
                 imu_lagb = legged.push_ring(
                     imu_lagb, jnp.concatenate([phys.base_vel[..., :3], euler], -1))
-            return (phys, lagb, dof_lagb, imu_lagb, torques), cforces
+            return (phys, lagb, dof_lagb, imu_lagb, torques, lag_steps), cforces
 
         sub_keys = jax.random.split(k_sub, cfg.control.decimation)
         carry0 = (phys2,) + jax.tree.map(
             to2, (state.lag_buffer, state.dof_lag_buffer,
-                  state.imu_lag_buffer, state.torques))
-        (phys, lagb, dof_lagb, imu_lagb, torques), cf_all = jax.lax.scan(
+                  state.imu_lag_buffer, state.torques)) + (
+            to2(state.params.lag_steps),)
+        (phys, lagb, dof_lagb, imu_lagb, torques, lag_steps2), cf_all = jax.lax.scan(
             sub_fn, carry0,
             (jnp.arange(cfg.control.decimation), sub_keys))
         phys, lagb, dof_lagb, imu_lagb, torques = jax.tree.map(
@@ -533,6 +561,7 @@ class T1DHStandEnv:
         state = state.replace(
             phys=phys, lag_buffer=lagb, dof_lag_buffer=dof_lagb,
             imu_lag_buffer=imu_lagb, torques=torques,
+            params=state.params.replace(lag_steps=to1(lag_steps2)),
             contact_forces=to1(cf_all[-1]))
 
         # --- post-physics ---
@@ -571,7 +600,8 @@ class T1DHStandEnv:
         cell_rows = jnp.concatenate(
             [cells2.x0, cells2.y0, cells2.h00, cells2.h10, cells2.h01,
              cells2.h11], axis=0)
-        # dyn rows: mass[nb] | com[nb*3] | inertia[nb*9] | armature[nd] | fric
+        # dyn rows: mass[nb] | com[nb*3] | inertia[nb*9] | armature[nd] |
+        # friction | restitution
         com = dyn.com                                   # [8,M,nb,3]
         inert = dyn.inertia                             # [8,M,nb,3,3]
         dyn_rows = jnp.concatenate([
@@ -580,6 +610,7 @@ class T1DHStandEnv:
             lead(inert.reshape(inert.shape[:-3] + (9 * nb,))),
             lead(dyn.armature),
             params2.friction[None],
+            params2.restitution[None],
         ], axis=0)
         ctrl_rows = jnp.concatenate([
             lead(params2.p_gains), lead(params2.d_gains),
@@ -639,7 +670,7 @@ class T1DHStandEnv:
 
         # lag rings: snapshots are newest-LAST; ring index 0 = newest
         dof_lagb = r2(state.dof_lag_buffer)
-        if dr.add_dof_lag:
+        if dr.add_dof_lag or dr.add_dof_pos_vel_lag:
             Ld = dof_lagb.shape[-1]
             snaps = unlead(ds).reshape(ds.shape[1:] + (dec, 2 * nd))  # [8,M,dec,24]
             snaps = jnp.moveaxis(snaps[..., ::-1, :], -2, -1)         # [8,M,24,dec]
@@ -658,12 +689,15 @@ class T1DHStandEnv:
                 axis=-1)
         return phys_out, new_lagb, dof_lagb, imu_lagb, torques, cforces, cx
 
-    def _make_ctx(self, state: EnvState, kin_rows=None) -> StepCtx:
+    def _make_ctx(self, state: EnvState, kin_rows=None,
+                  phys_for_kin=None) -> StepCtx:
         from ..physics.engine_core import ctx_kinematics
 
         model = self.model
         feet = list(model.feet_bodies)
         n = state.phys.base_pos.shape[0]
+        if phys_for_kin is None:
+            phys_for_kin = state.phys
         if kin_rows is not None:
             # feet/knee kinematics emitted by the decimation megakernel
             # (engine_core.ctx_stack_rows layout) — i.e. FK of the PRE-event
@@ -673,24 +707,30 @@ class T1DHStandEnv:
             # (legged_robot.py:465-471, t1_dh_stand_env.py:217-231).  Root
             # world velocity is recomputed from the live (post-push) state
             # below, matching the reference's root_states read.
+            from ..physics.engine_core import ctx_row_layout
+
             k2 = kin_rows
+            nf, nk = len(feet), len(model.knee_bodies)
+            lo = ctx_row_layout(nf, nk)   # the producer/consumer row contract
+            o_pos, o_rot = lo["pos"], lo["rot"]
+            o_av, o_knee = lo["angvel"], lo["knee"]
             feet_pos = jnp.stack(
-                [jnp.stack([k2[3 * f], k2[3 * f + 1], k2[3 * f + 2]], axis=-1)
-                 for f in range(2)], axis=-2)                       # [N,2,3]
+                [jnp.stack([k2[o_pos + 3 * f + c] for c in range(3)], axis=-1)
+                 for f in range(nf)], axis=-2)                      # [N,nf,3]
             eulers = []
-            for f in range(2):
-                r00, r10, r20, r21, r22 = (k2[6 + 5 * f + i] for i in range(5))
+            for f in range(nf):
+                r00, r10, r20, r21, r22 = (k2[o_rot + 5 * f + i] for i in range(5))
                 roll = jnp.arctan2(r21, r22)
                 pitch = jnp.arcsin(jnp.clip(-r20, -1.0, 1.0))
                 yaw = jnp.arctan2(r10, r00)
                 eulers.append(jnp.stack([roll, pitch, yaw], axis=-1))
-            feet_euler = jnp.stack(eulers, axis=-2)                 # [N,2,3]
+            feet_euler = jnp.stack(eulers, axis=-2)                 # [N,nf,3]
             feet_angvel_xy = jnp.stack(
-                [jnp.stack([k2[16 + 2 * f], k2[17 + 2 * f]], axis=-1)
-                 for f in range(2)], axis=-2)                       # [N,2,2]
+                [jnp.stack([k2[o_av + 2 * f], k2[o_av + 2 * f + 1]], axis=-1)
+                 for f in range(nf)], axis=-2)                      # [N,nf,2]
             knee_xy = jnp.stack(
-                [jnp.stack([k2[20 + 2 * f], k2[21 + 2 * f]], axis=-1)
-                 for f in range(2)], axis=-2)                       # [N,2,2]
+                [jnp.stack([k2[o_knee + 2 * kk], k2[o_knee + 2 * kk + 1]], axis=-1)
+                 for kk in range(nk)], axis=-2)                     # [N,nk,2]
             root_vel_world = self._root_vel_world(state)
         else:
             # component-form FK in the (8, N/8) layout (see step()) — the
@@ -698,15 +738,17 @@ class T1DHStandEnv:
             # this path ~0.3 ms
             rows = 8 if n % 8 == 0 else 1
             phys2 = jax.tree.map(
-                lambda x: x.reshape((rows, n // rows) + x.shape[1:]), state.phys)
+                lambda x: x.reshape((rows, n // rows) + x.shape[1:]), phys_for_kin)
             k = ctx_kinematics(model, phys2)
             k = jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), k)
             feet_pos = k["feet_pos"]
             feet_euler = k["feet_euler"]
             feet_angvel_xy = k["feet_angvel_xy"]
             knee_xy = k["knee_xy"]
-            root_vel_world = jnp.concatenate(
-                [k["root_lin_w"], k["root_ang_w"]], -1)
+            # root vel from the LIVE (post-event) state, like the reference's
+            # root_states read — only the feet/knee rigid-body context is
+            # pre-push (see _post_physics_step)
+            root_vel_world = self._root_vel_world(state)
         base_euler = sp.quat_to_euler_xyz(state.phys.base_quat)
         grav = jnp.asarray([0.0, 0.0, -1.0])
         proj_grav = sp.quat_rotate_inverse(state.phys.base_quat,
@@ -739,13 +781,29 @@ class T1DHStandEnv:
         # reference where _get_phase zeroes it on first use after the callback.
         state = state.replace(phase_length=state.phase_length + 1)
         state = self._resample_gait_commands(state, k_cmd)
+        if cfg.commands.heading_command:
+            # recompute the yaw-rate command from the heading error (reference
+            # legged_robot.py:951-954): wz = clip(0.5*wrap(target - heading))
+            n = state.commands.shape[0]
+            fwd = sp.quat_rotate(state.phys.base_quat,
+                                 jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3)))
+            heading = jnp.arctan2(fwd[:, 1], fwd[:, 0])
+            wz = jnp.clip(0.5 * sp.wrap_to_pi(state.commands[:, 3] - heading),
+                          -1.0, 1.0)
+            state = state.replace(commands=state.commands.at[:, 2].set(wz))
         if cfg.commands.sw_switch:
             stand = self._stand_command(state.commands)
             state = state.replace(
                 phase_length=jnp.where(stand, 0, state.phase_length))
+        # snapshot the PRE-event physics: pushes overwrite the root-state
+        # velocities, but the reference's rigid-body tensor (feet pose/vel
+        # reward context) is not refreshed again before rewards
+        # (legged_robot.py:465-471) — both the megakernel ctx (emitted before
+        # _events runs) and the fallback FK below must see pre-push state.
+        pre_event_phys = state.phys
         state = self._events(state, k_ev)
 
-        ctx = self._make_ctx(state, kin_rows=kin_rows)
+        ctx = self._make_ctx(state, kin_rows=kin_rows, phys_for_kin=pre_event_phys)
 
         # termination (reference legged_robot.py:509-517)
         term = list(self.model.termination_bodies)
@@ -1029,17 +1087,43 @@ class T1DHStandEnv:
                 -1.0, 1.0) * os_.height_measurements
             priv_frame = jnp.concatenate([priv_frame, heights], -1)
 
-        # actor frame — lagged sensors + uniform noise
+        # actor frame — lagged sensors + uniform noise.  Per-step lag
+        # re-randomization (reference t1_dh_stand_env.py:408-443) re-draws the
+        # read index each policy step with the +1 causality clamp; the updated
+        # index is stored back into params (it doubles as ``last``).
+        key, k_dof, k_imu, k_dp, k_dv = jax.random.split(key, 5)
+        params = state.params
         if dr.add_dof_lag:
-            lagged = legged.read_ring(state.dof_lag_buffer, state.params.dof_lag_steps)
+            steps = params.dof_lag_steps
+            if dr.randomize_dof_lag_timesteps and dr.randomize_dof_lag_timesteps_perstep:
+                steps = legged.perstep_lag_update(k_dof, steps, dr.dof_lag_timesteps_range)
+                params = params.replace(dof_lag_steps=steps)
+            lagged = legged.read_ring(state.dof_lag_buffer, steps)
             lag_q, lag_dq = lagged[:, :self.num_actions], lagged[:, self.num_actions:]
+        elif dr.add_dof_pos_vel_lag:
+            # split mode: pos and vel read the shared ring at INDEPENDENT lags
+            # (reference add_dof_pos_vel_lag buffers, legged_robot.py:324-349)
+            p_steps, v_steps = params.dof_pos_lag_steps, params.dof_vel_lag_steps
+            if dr.randomize_dof_pos_lag_timesteps and dr.randomize_dof_pos_lag_timesteps_perstep:
+                p_steps = legged.perstep_lag_update(k_dp, p_steps, dr.dof_pos_lag_timesteps_range)
+                params = params.replace(dof_pos_lag_steps=p_steps)
+            if dr.randomize_dof_vel_lag_timesteps and dr.randomize_dof_vel_lag_timesteps_perstep:
+                v_steps = legged.perstep_lag_update(k_dv, v_steps, dr.dof_vel_lag_timesteps_range)
+                params = params.replace(dof_vel_lag_steps=v_steps)
+            lag_q = legged.read_ring(state.dof_lag_buffer[:, :self.num_actions], p_steps)
+            lag_dq = legged.read_ring(state.dof_lag_buffer[:, self.num_actions:], v_steps)
         else:
             lag_q, lag_dq = q, dq
         if dr.add_imu_lag:
-            imu = legged.read_ring(state.imu_lag_buffer, state.params.imu_lag_steps)
+            steps = params.imu_lag_steps
+            if dr.randomize_imu_lag_timesteps and dr.randomize_imu_lag_timesteps_perstep:
+                steps = legged.perstep_lag_update(k_imu, steps, dr.imu_lag_timesteps_range)
+                params = params.replace(imu_lag_steps=steps)
+            imu = legged.read_ring(state.imu_lag_buffer, steps)
             lag_ang_vel, lag_euler = imu[:, :3], imu[:, 3:]
         else:
             lag_ang_vel, lag_euler = state.phys.base_vel[:, :3], base_euler
+        state = state.replace(params=params)
 
         obs_frame = jnp.concatenate([
             command_input,                                    # 5
@@ -1129,7 +1213,7 @@ class T1DHStandEnv:
         # re-randomize dof props + lag props (reference reset_idx:507-510)
         p, d, offs, coul, visc, arm = legged.sample_dof_params(
             cfg, ks[3], n, self.p_gains_nom, self.d_gains_nom)
-        lag, dof_lag, imu_lag = legged.sample_lag_steps(cfg, ks[4], n)
+        lag, dof_lag, imu_lag, dp_lag, dv_lag = legged.sample_lag_steps(cfg, ks[4], n)
         params = state.params
         params = params.replace(
             p_gains=jnp.where(m1, p, params.p_gains),
@@ -1140,6 +1224,8 @@ class T1DHStandEnv:
             lag_steps=jnp.where(done, lag, params.lag_steps),
             dof_lag_steps=jnp.where(done, dof_lag, params.dof_lag_steps),
             imu_lag_steps=jnp.where(done, imu_lag, params.imu_lag_steps),
+            dof_pos_lag_steps=jnp.where(done, dp_lag, params.dof_pos_lag_steps),
+            dof_vel_lag_steps=jnp.where(done, dv_lag, params.dof_vel_lag_steps),
             dynamics=params.dynamics.replace(
                 armature=jnp.where(m1, arm, params.dynamics.armature)),
         )

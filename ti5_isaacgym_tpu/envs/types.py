@@ -23,6 +23,7 @@ class EnvParams:
 
     dynamics: DynamicsParams          # mass/com/inertia [N,nb,...], armature [N,12]
     friction: jnp.ndarray             # [N] ground friction coefficient
+    restitution: jnp.ndarray          # [N] contact restitution (bucketed w/ friction)
     body_mass: jnp.ndarray            # [N] base mass incl. payload (priv obs)
     p_gains: jnp.ndarray              # [N,12] randomized Kp
     d_gains: jnp.ndarray              # [N,12] randomized Kd
@@ -30,8 +31,10 @@ class EnvParams:
     joint_coulomb: jnp.ndarray        # [N,12]
     joint_viscous: jnp.ndarray        # [N,12]
     lag_steps: jnp.ndarray            # [N] action lag (1 kHz substeps)
-    dof_lag_steps: jnp.ndarray        # [N] dof sensor lag
+    dof_lag_steps: jnp.ndarray        # [N] dof sensor lag (pos+vel shared)
     imu_lag_steps: jnp.ndarray        # [N] imu lag
+    dof_pos_lag_steps: jnp.ndarray    # [N] separate dof-pos sensor lag
+    dof_vel_lag_steps: jnp.ndarray    # [N] separate dof-vel sensor lag
 
 
 @struct.dataclass

@@ -323,6 +323,7 @@ def point_contact_forces(
     anchor: jnp.ndarray,
     friction: jnp.ndarray,
     m_eff: jnp.ndarray,
+    restitution: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Contact force at each collision point.
 
@@ -344,8 +345,14 @@ def point_contact_forces(
     depth = jnp.clip(gap * n[..., 2], 0.0, opts.max_depth)
     active = gap > 0.0
     v_n = jnp.sum(v_w * n, axis=-1)
-    # implicit-rate spring-damper (see class docstring)
-    k_v = opts.kp * opts.dt + opts.kd
+    # implicit-rate spring-damper (see class docstring); per-env restitution
+    # e scales the normal damping down (kd_eff = kd*(1-e)) — the compliant
+    # analogue of the per-shape restitution the reference writes into PhysX
+    # (legged_robot.py:803-820)
+    if restitution is not None:
+        k_v = opts.kp * opts.dt + opts.kd * (1.0 - restitution)
+    else:
+        k_v = opts.kp * opts.dt + opts.kd
     denom = 1.0 + opts.dt * k_v / m_n
     f_n = jnp.clip((opts.kp * depth - k_v * v_n) / denom, 0.0, opts.max_force) * active
 

@@ -100,6 +100,7 @@ def substep(
     cp_meff: Optional[jnp.ndarray] = None,
     base_force_w: Optional[jnp.ndarray] = None,
     base_torque_w: Optional[jnp.ndarray] = None,
+    restitution: Optional[jnp.ndarray] = None,
 ) -> Tuple[PhysicsState, jnp.ndarray]:
     """Advance one env by one physics substep.
 
@@ -123,7 +124,8 @@ def substep(
         cp_meff = jnp.stack([model.mass[model.cp_body]] * 2, axis=-1)
     p_w, v_w = dyn.point_world(frames, model.cp_body, model.cp_pos)
     f_pts, _, new_anchor = ct.point_contact_forces(
-        terrain, copts, p_w, v_w, state.cp_anchor, friction, cp_meff)
+        terrain, copts, p_w, v_w, state.cp_anchor, friction, cp_meff,
+        restitution=restitution)
     nb = model.nb
     body_f = jax.ops.segment_sum(f_pts, model.cp_body, num_segments=nb)
     arm = p_w - frames.pos[model.cp_body]

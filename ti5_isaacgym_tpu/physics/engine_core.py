@@ -87,6 +87,7 @@ def substep_batched(
     base_force_w: Optional[jnp.ndarray] = None,   # [N, 3]
     base_torque_w: Optional[jnp.ndarray] = None,  # [N, 3]
     cell_cache=None,                               # ContactCells frozen per policy step
+    restitution: Optional[jnp.ndarray] = None,     # [N] per-env restitution
     _ablate: str = "",                             # dev-only perf bisection
 ) -> Tuple[PhysicsState, jnp.ndarray]:
     nb = model.nb
@@ -114,6 +115,8 @@ def substep_batched(
         bf=s3.v3_unstack(base_force_w) if base_force_w is not None else None,
         bt=s3.v3_unstack(base_torque_w) if base_torque_w is not None else None,
     )
+    if restitution is not None:
+        comps["restitution"] = restitution
 
     sample_fn = None
     if cell_cache is None and _ablate != "flat_analytic":
@@ -188,9 +191,25 @@ def fk_components(mc: ModelConsts, bp, bq, bw, bv, qpos, qvel):
     return pos, rot, w, v, R_pc
 
 
+def ctx_row_layout(nf: int, nk: int) -> dict:
+    """Row offsets of the ctx kinematics block for ``nf`` feet and ``nk``
+    knee bodies — the SINGLE definition of the producer/consumer contract
+    between :func:`ctx_stack_rows`, the megakernel's ctx output, and the
+    env's ``_make_ctx`` (a hand-mirrored layout would silently corrupt
+    feet rewards if either side reordered)."""
+    return {
+        "pos": 0,                       # 3 rows per foot (xyz)
+        "rot": 3 * nf,                  # 5 rows per foot (R00,R10,R20,R21,R22)
+        "angvel": 8 * nf,               # 2 rows per foot (wx, wy)
+        "knee": 10 * nf,                # 2 rows per knee (xy)
+        "total": 10 * nf + 2 * nk,
+    }
+
+
 def ctx_stack_rows(mc: ModelConsts, feet: list, knees: list,
                    bp, bq, bw, bv, qpos, qvel):
-    """Post-step reward/termination kinematics as a flat row list (24 rows):
+    """Post-step reward/termination kinematics as a flat row list
+    (``ctx_row_layout(len(feet), len(knees))["total"]`` rows; 24 for T1):
 
       0:6   feet world position      (foot0 xyz | foot1 xyz)
       6:16  feet rotation entries    (R00,R10,R20,R21,R22 per foot — exactly
@@ -307,7 +326,17 @@ def substep_stacked(mc: ModelConsts, hscale: float, copts: ContactOpts,
     else:
         mn = jnp.asarray(np.asarray(cp_meff)[:, 0])[(...,) + (None,) * (px.ndim - 1)]
         mt = jnp.asarray(np.asarray(cp_meff)[:, 1])[(...,) + (None,) * (px.ndim - 1)]
-    k_v = copts.kp * copts.dt + copts.kd
+    # per-env restitution e in [0, 1): scales down the normal contact damping
+    # (kd_eff = kd * (1 - e)) — in a compliant spring-damper the damping term
+    # IS the impact-energy sink, so e=0 keeps the critically-damped (dead)
+    # impact and larger e returns more of the impact velocity.  This is the
+    # TPU-native equivalent of the per-shape restitution the reference writes
+    # into PhysX (legged_robot.py:803-820).
+    rest = comps.get("restitution")
+    if rest is not None:
+        k_v = copts.kp * copts.dt + copts.kd * (1.0 - rest)
+    else:
+        k_v = copts.kp * copts.dt + copts.kd
     kt_v = copts.kt * copts.dt + copts.kdt
     v_n = nx * vx + ny * vy + nz * vz
     denom = 1.0 + copts.dt * k_v / mn

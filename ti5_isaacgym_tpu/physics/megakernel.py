@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import spatial3 as s3
 from .contact import CellCache, ContactOpts
 from .engine import SolverOpts
-from .engine_core import ModelConsts, ctx_stack_rows, substep_stacked
+from .engine_core import ModelConsts, ctx_row_layout, ctx_stack_rows, substep_stacked
 
 
 def _rows(xs):
@@ -64,7 +64,7 @@ def run_decimation(
     state_rows: jnp.ndarray,       # [37, 8, M] bp3 bq4 bw3 bv3 qpos12 qvel12
     anchor_rows: jnp.ndarray,      # [3*ncp, 8, M] ax | ay | az
     cell_rows: jnp.ndarray,        # [6*ncp, 8, M] x0|y0|h00|h10|h01|h11
-    dyn_rows: jnp.ndarray,         # [13nb+nd+1, 8, M] mass com inert arma fric
+    dyn_rows: jnp.ndarray,         # [13nb+nd+2, 8, M] mass com inert arma fric rest
     ctrl_rows: jnp.ndarray,        # [5*nd, 8, M] p d offs coul visc
     lagged_rows: jnp.ndarray,      # [dec*nd, 8, M] pre-scaled lag-resolved actions
     noise_rows: jnp.ndarray,       # [dec*nd, 8, M] torque multipliers
@@ -125,6 +125,7 @@ def run_decimation(
         o += 9 * nb
         arma = [dy[o + j] for j in range(nd)]
         friction = dy[o + nd]
+        restitution = dy[o + nd + 1]
         p_g = [ct[j] for j in range(nd)]
         d_g = [ct[nd + j] for j in range(nd)]
         offs = [ct[2 * nd + j] for j in range(nd)]
@@ -160,7 +161,8 @@ def run_decimation(
                 bp=bp, bq=bq, bw=bw, bv=bv,
                 qpos=list(qpos), qvel=list(qvel), tau=tau,
                 mass=mass, com=com, inert=inert, arma=arma,
-                friction=friction, ax=ax_, ay=ay_, az=az_,
+                friction=friction, restitution=restitution,
+                ax=ax_, ay=ay_, az=az_,
                 mn=me[0:ncp], mt=me[ncp:2 * ncp],
                 bf=(ew[0] * on, ew[1] * on, ew[2] * on),
                 bt=(ew[3] * on, ew[4] * on, ew[5] * on),
@@ -206,7 +208,8 @@ def run_decimation(
 
     out_rows = (37, 3 * ncp, 3 * nb, nd, dec * 2 * nd, dec * 7)
     if with_ctx:
-        out_rows = out_rows + (24,)
+        out_rows = out_rows + (
+            ctx_row_layout(len(feet_bodies), len(knee_bodies))["total"],)
     out_shape = tuple(jax.ShapeDtypeStruct((r, eight, m), jnp.float32)
                       for r in out_rows)
     fn = pl.pallas_call(
