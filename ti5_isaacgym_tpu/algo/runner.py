@@ -106,13 +106,24 @@ class OnPolicyRunner:
     # ------------------------------------------------------------------
 
     def init_carry(self) -> RunnerCarry:
-        key = jax.random.PRNGKey(self.seed)
-        k_env, k_net, k_run = jax.random.split(key, 3)
-        # jit the whole env bring-up: eager execution would round-trip the
-        # compiler for every op on remote-compile TPU backends
-        env_state, obs, priv = jax.jit(
-            lambda k: self.env.reset(self.env.init_state(k)))(k_env)
-        params = self.network.init(k_net, obs[:1], priv[:1])
+        # bring-up runs unsharded: collectives (psum in curricula/update) are
+        # only valid under shard_map, so axis names are cleared for the reset
+        # path even when a ShardedRunner has bound them
+        env_axis = getattr(self.env, "axis_name", None)
+        alg_axis = getattr(self.alg, "axis_name", None)
+        self.env.axis_name = None
+        self.alg.axis_name = None
+        try:
+            key = jax.random.PRNGKey(self.seed)
+            k_env, k_net, k_run = jax.random.split(key, 3)
+            # jit the whole env bring-up: eager execution would round-trip the
+            # compiler for every op on remote-compile TPU backends
+            env_state, obs, priv = jax.jit(
+                lambda k: self.env.reset(self.env.init_state(k)))(k_env)
+            params = self.network.init(k_net, obs[:1], priv[:1])
+        finally:
+            self.env.axis_name = env_axis
+            self.alg.axis_name = alg_axis
         ts = init_train_state(self.ppo_cfg, params)
         n = obs.shape[0]
         return RunnerCarry(

@@ -132,6 +132,27 @@ class ShardedRunner:
             r.alg.axis_name = AXIS
         return carry
 
+    def shard_carry(self, carry):
+        """Commit a host/single-device carry (e.g. an orbax restore) to the
+        mesh — jit refuses to auto-reshard arrays already committed to one
+        device, so resume paths must re-place explicitly."""
+        from jax.sharding import NamedSharding
+
+        specs = carry_specs(carry, self.runner.env.num_envs)
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+            carry, specs)
+
+    def load(self, path, carry=None, **kw):
+        return self.shard_carry(self.runner.load(path, carry=carry, **kw))
+
+    @property
+    def log_dir(self):
+        return self.runner.log_dir
+
+    def save(self, carry, **kw):
+        return self.runner.save(carry, **kw)
+
     def learn(self, num_iterations: int, carry=None, log_every: int = 10):
         r = self.runner
         if carry is None:

@@ -19,9 +19,16 @@ def train(args):
     set_seed(train_cfg.seed)
     if runner.log_dir:
         record_config(runner.log_dir, env_cfg, train_cfg)
-    carry = None
-    if getattr(runner, "_resume_path", None):
-        carry = runner.load(runner._resume_path)
+    if getattr(args, "n_devices", None) and args.n_devices > 1:
+        # multi-chip DP: envs sharded over the mesh, gradients psum'd
+        # (SURVEY §2.3/§5.8 — the reference's dead --horovod, done properly)
+        from ..parallel import ShardedRunner, make_mesh
+
+        resume_path = getattr(runner, "_resume_path", None)
+        runner = ShardedRunner(runner, make_mesh(args.n_devices))
+    else:
+        resume_path = getattr(runner, "_resume_path", None)
+    carry = runner.load(resume_path) if resume_path else None
     n_iter = train_cfg.runner.max_iterations
     if getattr(args, "profile", None):
         # tracing/profiling subsystem (SURVEY §5.1): warm up past compiles,

@@ -21,6 +21,9 @@ def get_args(argv=None):
     p.add_argument("--headless", action="store_true", default=True)
     p.add_argument("--log_root", type=str, default=None)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="shard envs + DP learner over this many devices "
+                        "(jax.sharding mesh; default single-device)")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of iterations "
                         "3-5 into DIR (open with TensorBoard/XProf)")
