@@ -195,3 +195,29 @@ def test_heading_command_resample_and_recompute():
     want = np.clip(0.5 * np.arctan2(np.sin(cmds2[:, 3]), np.cos(cmds2[:, 3])),
                    -1.0, 1.0)
     np.testing.assert_allclose(cmds2[:, 2], want, atol=1e-5)
+
+
+def test_keyboard_teleop_key_mapping():
+    """Teleop command source (reference play.py joystick thread / viewer
+    keyboard events): key increments, stop, and quit semantics."""
+    from ti5_isaacgym_tpu.utils.teleop import KeyboardTeleop
+
+    kb = KeyboardTeleop.__new__(KeyboardTeleop)
+    import threading
+    kb._lock = threading.Lock()
+    kb._cmd = [0.0, 0.0, 0.0]
+    kb._exit = False
+    for ch in "wwwa q":
+        kb.apply_key(ch) if ch != " " else None
+    np.testing.assert_allclose(kb.get(), (0.3, 0.1, 0.1), atol=1e-9)
+    kb.apply_key(" ")
+    assert kb.get() == (0.0, 0.0, 0.0)
+    kb.apply_key("x")
+    assert kb.exited
+
+
+def test_teleop_headless_degrade():
+    from ti5_isaacgym_tpu.utils.teleop import JoystickTeleop, make_teleop
+
+    js = JoystickTeleop()
+    assert not js.ok  # no controller on CI

@@ -90,3 +90,33 @@ def test_onnx_executes_and_matches_jax(tmp_path):
     out = run_file(path, {"obs": obs.astype(np.float32)})
     np.testing.assert_allclose(out["action_mean"], act_j, atol=2e-4)
     np.testing.assert_allclose(out["est_vel"], est_j, atol=2e-4)
+
+
+def test_controller_yaml_reference_schema(tmp_path):
+    """The exported YAML must follow the reference controller schema
+    (extract_config.py:6-56): LeggedRobotCfg tree, per-joint dicts expanded
+    to leg_{l,r}N_joint names, clip_scales/obs_scales, size/mode/filter."""
+    import yaml
+
+    from ti5_isaacgym_tpu.configs.t1_dh_stand import T1EnvCfg
+    from ti5_isaacgym_tpu.export.policy import export_controller_yaml
+
+    path = export_controller_yaml(T1EnvCfg(), str(tmp_path))
+    data = yaml.safe_load(open(path))
+    cfg = data["LeggedRobotCfg"]
+    joints = [f"leg_{s}{i}_joint" for s in ("l", "r") for i in range(1, 7)]
+    assert sorted(cfg["init_state"]["default_joint_angle"]) == sorted(joints)
+    assert cfg["control"]["stiffness"]["leg_l4_joint"] == 120.0
+    assert cfg["control"]["stiffness"]["leg_r4_joint"] == 120.0
+    assert cfg["control"]["damping"]["leg_l6_joint"] == 3.0
+    assert cfg["control"]["cycle_time"] == 0.8
+    assert cfg["normalization"]["clip_scales"]["clip_observations"] == 100.0
+    assert set(cfg["normalization"]["obs_scales"]) >= {
+        "lin_vel", "ang_vel", "dof_pos", "dof_vel", "quat"}
+    assert cfg["size"] == {"actions_size": 12, "observations_size": 47,
+                           "num_hist": 66}
+    assert cfg["mode"]["cmd_threshold"] == 0.05
+    assert cfg["filter"]["sample_rate"] == 100
+    # default pose matches the config tuple in joint order
+    da = cfg["init_state"]["default_joint_angle"]
+    assert abs(da["leg_l4_joint"] - 0.6) < 1e-6

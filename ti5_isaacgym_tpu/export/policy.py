@@ -81,37 +81,76 @@ def load_stablehlo(path: str):
         return jexport.deserialize(f.read())
 
 
-def export_controller_yaml(env_cfg, out_dir: str, name: str = "policy_config") -> str:
-    """Robot-side controller parameters (reference ``extract_config.py``
-    KEY_MAPPING surface: gains, scales, limits, obs layout)."""
+def export_controller_yaml(env_cfg, out_dir: str, name: str = "policy_config",
+                           dof_names=None) -> str:
+    """Robot-side controller parameters in the reference controller's exact
+    YAML schema (``scripts/extract_config.py:6-56``): the ``LeggedRobotCfg``
+    tree with per-joint gain/angle dicts (the KEY_MAPPING expansion to
+    ``leg_{l,r}N_joint`` names), ``clip_scales``/``obs_scales``, ``size``,
+    and the controller-side ``mode``/``filter`` sections.  A controller
+    written against the reference's file consumes this one unchanged."""
     import yaml
 
     os.makedirs(out_dir, exist_ok=True)
     c = env_cfg
+    if dof_names is None:
+        # T1 joint order used by the config tuples (reference KEY_MAPPING)
+        dof_names = tuple(f"leg_{s}{i}_joint" for s in ("l", "r")
+                          for i in range(1, 7))
+    per_joint = lambda vals: {n: float(v) for n, v in zip(dof_names, vals)}
+    os_ = c.normalization.obs_scales
+    policy_rate = 1.0 / (c.sim.dt * c.control.decimation)
     data = {
-        "num_single_obs": c.env.num_single_obs,
-        "frame_stack": c.env.frame_stack,
-        "short_frame_stack": c.env.short_frame_stack,
-        "num_actions": c.env.num_actions,
-        "num_commands": c.env.num_commands,
-        "cycle_time": c.rewards.cycle_time,
-        "action_scale": c.control.action_scale,
-        "decimation": c.control.decimation,
-        "sim_dt": c.sim.dt,
-        "stiffness": list(c.control.stiffness),
-        "damping": list(c.control.damping),
-        "default_joint_angles": list(c.init_state.default_joint_angles),
-        "clip_observations": c.normalization.clip_observations,
-        "clip_actions": c.normalization.clip_actions,
-        "obs_scales": {
-            "lin_vel": c.normalization.obs_scales.lin_vel,
-            "ang_vel": c.normalization.obs_scales.ang_vel,
-            "dof_pos": c.normalization.obs_scales.dof_pos,
-            "dof_vel": c.normalization.obs_scales.dof_vel,
-            "quat": c.normalization.obs_scales.quat,
+        "LeggedRobotCfg": {
+            "init_state": {
+                "default_joint_angle": per_joint(c.init_state.default_joint_angles),
+            },
+            "control": {
+                "stiffness": per_joint(c.control.stiffness),
+                "damping": per_joint(c.control.damping),
+                "action_scale": c.control.action_scale,
+                "decimation": c.control.decimation,
+                "cycle_time": c.rewards.cycle_time,
+            },
+            "normalization": {
+                "clip_scales": {
+                    "clip_observations": c.normalization.clip_observations,
+                    "clip_actions": c.normalization.clip_actions,
+                },
+                "obs_scales": {
+                    "lin_vel": os_.lin_vel, "ang_vel": os_.ang_vel,
+                    "dof_pos": os_.dof_pos, "dof_vel": os_.dof_vel,
+                    "quat": os_.quat,
+                    "height_measurements": getattr(os_, "height_measurements", 5.0),
+                },
+            },
+            "size": {
+                "actions_size": c.env.num_actions,
+                "observations_size": c.env.num_single_obs,
+                "num_hist": c.env.frame_stack,
+            },
+            # controller-side run modes/filters (constants in the reference
+            # extractor, extract_config.py:43-53); cmd_threshold and
+            # sample_rate derive from the trained config
+            "mode": {
+                "sw_mode": bool(c.commands.sw_switch),
+                "cmd_threshold": c.commands.stand_com_threshold,
+                "ang_vel_threshold": 100000,
+                "angle_threshold": 0.1,
+            },
+            "filter": {
+                "filt_action": True,
+                "sample_rate": int(round(policy_rate)),
+                "cutoff_freq": 3.0,
+            },
         },
-        "torque_limit": c.safety.torque_limit,
-        "stand_com_threshold": c.commands.stand_com_threshold,
+        # deployment extras beyond the reference schema (additive keys only)
+        "extras": {
+            "short_frame_stack": c.env.short_frame_stack,
+            "num_commands": c.env.num_commands,
+            "sim_dt": c.sim.dt,
+            "torque_limit": c.safety.torque_limit,
+        },
     }
     path = os.path.join(out_dir, f"{name}.yaml")
     with open(path, "w") as f:

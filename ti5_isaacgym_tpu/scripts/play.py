@@ -36,6 +36,13 @@ def get_play_args(argv=None):
     p.add_argument("--out_dir", type=str, default="eval_out")
     p.add_argument("--random_policy", action="store_true",
                    help="skip checkpoint loading (smoke-testing)")
+    p.add_argument("--teleop", type=str, default="off",
+                   choices=["off", "auto", "joystick", "keyboard"],
+                   help="drive commands interactively (reference play.py "
+                        "joystick thread :44-62 / viewer keyboard events)")
+    p.add_argument("--live", action="store_true",
+                   help="live MuJoCo viewer replaying robot 0 (needs a "
+                        "display; reference base_task.py viewer :89-156)")
     return p.parse_args(argv)
 
 
@@ -83,9 +90,43 @@ def play(args):
     state, obs, priv = jax.jit(env.reset)(carry.env_state)
     step = jax.jit(env.step)
     fixed_cmd = jnp.asarray(args.command, jnp.float32)
+
+    teleop = None
+    if args.teleop != "off":
+        from ..utils.teleop import make_teleop
+
+        teleop = make_teleop(args.teleop)
+        if teleop is None:
+            print("[play] no teleop source available; using the schedule")
+
+    viewer = None
+    if args.live:
+        # live viewing replays robot 0 into a MuJoCo passive viewer (the
+        # reference's create_viewer/draw_viewer path needs Isaac Gym's GUI)
+        try:
+            import mujoco
+            import mujoco.viewer
+
+            from ..export.mjcf import spec_file_to_mjcf
+
+            spec = os.path.join(os.path.dirname(__file__), "..", "resources",
+                                "t1_model.json")
+            mj_model = mujoco.MjModel.from_xml_string(spec_file_to_mjcf(spec))
+            mj_data = mujoco.MjData(mj_model)
+            viewer = mujoco.viewer.launch_passive(mj_model, mj_data)
+        except Exception as e:
+            print(f"[play] live viewer unavailable: {e}")
+            viewer = None
+
     traj = []
     for i in range(args.steps):
-        if args.fix_command:
+        if teleop is not None and teleop.ok:
+            if teleop.exited:
+                break
+            cmds = state.commands.at[:, :3].set(jnp.asarray(teleop.get()))
+            state = state.replace(commands=cmds,
+                                  gait_time=jnp.full_like(state.gait_time, 1 << 30))
+        elif args.fix_command:
             cmds = state.commands.at[:, :3].set(fixed_cmd)
             state = state.replace(commands=cmds,
                                   gait_time=jnp.full_like(state.gait_time, 1 << 30))
@@ -120,11 +161,25 @@ def play(args):
                 np.asarray(state.phys.base_pos[robot]),
                 np.asarray(state.phys.base_quat[robot]),
                 np.asarray(state.phys.qpos[robot])]))
+        if viewer is not None:
+            if not viewer.is_running():
+                break
+            mj_data.qpos[:3] = np.asarray(state.phys.base_pos[robot])
+            mj_data.qpos[3:7] = np.asarray(state.phys.base_quat[robot])
+            mj_data.qpos[7:] = np.asarray(state.phys.qpos[robot])
+            import mujoco as _mj
+
+            _mj.mj_forward(mj_model, mj_data)
+            viewer.sync()
         if i % 200 == 0:
             print(f"step {i}: base z {float(state.phys.base_pos[robot, 2]):.3f} "
                   f"vx {float(state.phys.base_vel[robot, 3]):+.2f} "
                   f"(cmd {float(state.commands[robot, 0]):+.2f})", flush=True)
 
+    if teleop is not None:
+        teleop.stop()
+    if viewer is not None:
+        viewer.close()
     logger.print_rewards()
     logger.plot_states(args.out_dir)
     if args.export_traj:
