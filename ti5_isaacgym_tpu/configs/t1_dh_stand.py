@@ -59,6 +59,9 @@ class SafetySection:
 @dataclass(frozen=True)
 class AssetSection:
     name: str = "t1"
+    # model-spec JSON under ti5_isaacgym_tpu/resources/ (produced by
+    # tools/extract_model.py from the robot URDF)
+    model_spec: str = "t1_model.json"
     foot_name: str = "6_link"
     knee_name: str = "4_link"
     terminate_after_contacts_on: Tuple[str, ...] = ("base_link",)

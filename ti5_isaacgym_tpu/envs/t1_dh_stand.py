@@ -67,7 +67,18 @@ class T1DHStandEnv:
         # set by the parallel trainer when envs are sharded across a mesh
         self.axis_name = None
         self.cfg = cfg
-        self.model = model if model is not None else load_t1()
+        if model is not None:
+            self.model = model
+        else:
+            # load the robot named by the config (asset pipeline:
+            # tools/extract_model.py URDF -> resources/<model_spec>)
+            import os as _os
+
+            from ..physics.model import load as _load_model
+
+            spec = getattr(cfg.asset, "model_spec", "t1_model.json")
+            self.model = _load_model(_os.path.abspath(_os.path.join(
+                _os.path.dirname(__file__), "..", "resources", spec)))
         # Pallas runs compiled on TPU; on the CPU backend (unit tests,
         # multi-chip dry runs) it must use interpret mode.  Decided at env
         # construction from the effective default device.

@@ -110,6 +110,11 @@ def _register_builtin():
         noise=dataclasses.replace(T1EnvCfg().noise, add_noise=False),
     )
     task_registry.register("t1_flat", T1DHStandEnv, flat_env, T1TrainCfg())
+    # second robot asset (K1): same env class, different model/config — the
+    # asset pipeline (URDF -> extract_model.py -> model spec) end to end
+    from ..configs.k1_dh_stand import k1_env_cfg, k1_train_cfg
+
+    task_registry.register("k1_dh_stand", T1DHStandEnv, k1_env_cfg(), k1_train_cfg())
 
 
 _register_builtin()
