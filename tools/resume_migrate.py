@@ -37,10 +37,23 @@ def graft(fresh, saved):
     if isinstance(saved, dict) and isinstance(fresh, dict):
         return {k: graft(fresh[k], saved[k]) if k in saved else fresh[k]
                 for k in fresh}
-    if isinstance(saved, dict) and isinstance(fresh, (tuple, list)):
-        # orbax serializes tuples as {'0': ..., '1': ...}
-        items = [graft(x, saved.get(str(i))) for i, x in enumerate(fresh)]
-        return type(fresh)(*items) if hasattr(fresh, "_fields") else type(fresh)(items)
+    if hasattr(fresh, "_fields"):   # NamedTuple (e.g. optax states)
+        if isinstance(saved, dict):
+            items = [graft(getattr(fresh, n), saved.get(n, saved.get(str(i))))
+                     for i, n in enumerate(fresh._fields)]
+        else:
+            sv = list(saved) if isinstance(saved, (list, tuple)) else []
+            sv += [None] * (len(fresh) - len(sv))
+            items = [graft(x, s) for x, s in zip(fresh, sv)]
+        return type(fresh)(*items)
+    if isinstance(fresh, (tuple, list)):
+        if isinstance(saved, dict):     # {'0': ..., '1': ...} encoding
+            items = [graft(x, saved.get(str(i))) for i, x in enumerate(fresh)]
+        else:
+            sv = list(saved) if isinstance(saved, (list, tuple)) else []
+            sv += [None] * (len(fresh) - len(sv))
+            items = [graft(x, s) for x, s in zip(fresh, sv)]
+        return type(fresh)(items)
     if hasattr(fresh, "dtype"):
         arr = jnp.asarray(saved)
         return arr.astype(fresh.dtype) if arr.dtype != fresh.dtype else arr
