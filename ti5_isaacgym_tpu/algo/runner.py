@@ -157,6 +157,8 @@ class OnPolicyRunner:
                     "ep_len_sum": jnp.sum(jnp.where(done, cur_len, 0.0)),
                     "done_count": jnp.sum(done),
                     "episode_sums_done": extras["episode_sums_done"],
+                    "walked_distance_sum": extras.get("walked_distance_sum",
+                                                      jnp.zeros(())),
                     "max_command_x": extras["max_command_x"],
                     "terrain_level_mean": extras.get("terrain_level_mean", jnp.zeros(())),
                 }
@@ -180,6 +182,7 @@ class OnPolicyRunner:
                 "ep_reward_sum": jnp.sum(stats["ep_reward_sum"]),
                 "ep_len_sum": jnp.sum(stats["ep_len_sum"]),
                 "done_count": jnp.sum(stats["done_count"]),
+                "walked_distance_sum": jnp.sum(stats["walked_distance_sum"]),
                 "episode_sums_done": jnp.sum(stats["episode_sums_done"], axis=0),
                 "max_command_x": stats["max_command_x"][-1],
                 "terrain_level_mean": stats["terrain_level_mean"][-1],
@@ -267,6 +270,7 @@ class OnPolicyRunner:
             "terrain_level": float(metrics["terrain_level_mean"]),
         }
         n_done = max(float(metrics["done_count"]), 1.0)
+        row["walked_distance"] = float(metrics.get("walked_distance_sum", 0.0)) / n_done
         for i, name in enumerate(getattr(self.env, "reward_names", ())):
             row[f"rew_{name}"] = float(np.asarray(metrics["episode_sums_done"])[i]) / n_done
         with open(path, "a", newline="") as f:

@@ -1273,12 +1273,18 @@ class T1DHStandEnv:
     def _build_extras(self, state: EnvState, done) -> Dict[str, jnp.ndarray]:
         n_done = jnp.sum(done)
         sums_done = jnp.sum(jnp.where(done[:, None], state.episode_sums, 0.0), axis=0)
+        # net displacement from the episode origin at termination — direct
+        # evidence of walking competence (the terrain curriculum's promote
+        # rule reads the same quantity, legged_robot.py:1144)
+        walked = jnp.linalg.norm(
+            state.phys.base_pos[:, :2] - state.env_origin[:, :2], axis=-1)
         extras = {
             "time_outs": state.time_out_buf,
             "done_count": n_done,
             # per-term mean episode reward over done envs, per second
             "episode_sums_done": sums_done / self.max_episode_length_s,
             "episode_length_sum": jnp.sum(jnp.where(done, state.episode_length, 0)),
+            "walked_distance_sum": jnp.sum(jnp.where(done, walked, 0.0)),
             "max_command_x": state.cmd_vx_range[1],
         }
         if self.custom_origins:
