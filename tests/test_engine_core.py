@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ti5_isaacgym_tpu.physics import dynamics as dyn
 from ti5_isaacgym_tpu.physics.contact import ContactOpts, flat_terrain
@@ -37,6 +38,7 @@ def _setup():
     return states, bparams, tau, fric, bf, meff
 
 
+@pytest.mark.slow
 def test_scalarized_matches_vmapped_oracle():
     states, bparams, tau, fric, bf, meff = _setup()
     terrain = flat_terrain()
@@ -59,6 +61,7 @@ def test_scalarized_matches_vmapped_oracle():
                                atol=0.5, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_scalarized_multistep_stable():
     states, bparams, tau, fric, bf, meff = _setup()
     terrain = flat_terrain()

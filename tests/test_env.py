@@ -10,6 +10,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# one shared full-env compile (~2 min on the 2-core CI host) serves every
+# test here — thorough tier; the fast tier covers obs/lag/reward unit paths
+# via test_env_surface
+pytestmark = pytest.mark.slow
+
 from ti5_isaacgym_tpu.configs.t1_dh_stand import T1EnvCfg
 from ti5_isaacgym_tpu.envs.t1_dh_stand import T1DHStandEnv
 

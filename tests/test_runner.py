@@ -37,6 +37,7 @@ def trained():
     return runner, carry0, carry1
 
 
+@pytest.mark.slow
 def test_learn_updates_params(trained):
     runner, carry0, carry1 = trained
     deltas = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
@@ -45,6 +46,7 @@ def test_learn_updates_params(trained):
     assert bool(jnp.all(jnp.isfinite(carry1.obs)))
 
 
+@pytest.mark.slow
 def test_inference_policy(trained):
     runner, _, carry1 = trained
     policy = runner.get_inference_policy(carry1.ts.params)
@@ -54,6 +56,7 @@ def test_inference_policy(trained):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(policy(carry1.obs)))
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, trained):
     runner, _, carry1 = trained
     runner.log_dir = str(tmp_path)
@@ -67,6 +70,7 @@ def test_checkpoint_roundtrip(tmp_path, trained):
                                   np.asarray(carry2.env_state.episode_length))
 
 
+@pytest.mark.slow
 def test_vanilla_runner():
     cfg, tcfg = small_cfgs(vanilla=True)
     env = T1DHStandEnv(cfg)
@@ -75,6 +79,7 @@ def test_vanilla_runner():
     assert bool(jnp.all(jnp.isfinite(jax.tree.leaves(carry.ts.params)[0])))
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices("cpu")) < 8, reason="needs 8 virtual devices")
 def test_sharded_training_matches_shapes(tmp_path):
     from ti5_isaacgym_tpu.parallel import ShardedRunner, make_mesh

@@ -131,6 +131,16 @@ def main():
             os.path.join(out, "sim2sim.log"))
         print("sim2sim rc:", rc, flush=True)
 
+    # deployment artifacts from the blessed checkpoint (npz + StableHLO +
+    # ONNX + controller YAML) — the full reference export surface
+    if ckpt:
+        rc, _ = run_cmd(
+            [sys.executable, "-m", "ti5_isaacgym_tpu.scripts.export_policy",
+             "--task", args.task, "--log_root", log_root,
+             "--load_run", run_name, "--out", os.path.join(out, "exported")],
+            os.path.join(out, "export.log"))
+        print("export rc:", rc, flush=True)
+
     s2s_line = next((l for l in s2s_out.splitlines() if l.startswith("sim2sim:")), "(skipped)")
     with open(os.path.join(out, "EVAL.md"), "w") as f:
         f.write(f"""# Evaluation report — {run_name}
