@@ -1029,19 +1029,20 @@ class T1DHStandEnv:
         values["dof_vel_limits"] = jnp.sum(
             jnp.clip(jnp.abs(dq) - lim * R.soft_dof_vel_limit, 0.0, 1.0), axis=-1)
 
-        # total = sum of scaled active terms; only_positive clips at 0
-        rew = jnp.zeros((n,))
-        sums = state.episode_sums
-        for i, name in enumerate(self.reward_names):
-            term = values[name] * self.reward_scales_dt[name]
-            rew = rew + term
-            sums = sums.at[:, i].add(term)
+        # total = sum of scaled active terms; only_positive clips at 0.
+        # One stacked [N, T] term matrix instead of T per-term scatter-adds:
+        # the .at[:, i].add loop lowered to ~T dynamic-update-slice kernels.
+        terms = jnp.stack([values[name] for name in self.reward_names], axis=-1)
+        scales = jnp.asarray([self.reward_scales_dt[name]
+                              for name in self.reward_names])
+        terms = terms * scales
+        rew = jnp.sum(terms, axis=-1)
         if cfg.rewards.only_positive_rewards:
             rew = jnp.maximum(rew, 0.0)
         if "termination" in self.reward_scales_dt:
             t = values["termination"] * self.reward_scales_dt["termination"]
             rew = rew + t
-        state = state.replace(episode_sums=sums)
+        state = state.replace(episode_sums=state.episode_sums + terms)
         return state, rew
 
     # ------------------------------------------------------------------
