@@ -90,7 +90,10 @@ class OnPolicyRunner:
         self.num_steps_per_env = train_cfg.runner.num_steps_per_env
         self.seed = train_cfg.seed if seed is None else seed
         self.iteration_count = 0
-        self._iter_fn = jax.jit(self._make_iteration())
+        # donate the carry: the iteration is carry -> carry, so donation lets
+        # XLA alias the large env-state/history buffers in place instead of
+        # double-buffering them in HBM
+        self._iter_fn = jax.jit(self._make_iteration(), donate_argnums=0)
         self._csv_file = None
         self._tb = None
         if log_dir is not None:
@@ -118,8 +121,13 @@ class OnPolicyRunner:
             k_env, k_net, k_run = jax.random.split(key, 3)
             # jit the whole env bring-up: eager execution would round-trip the
             # compiler for every op on remote-compile TPU backends
+            import time
+            t0 = time.time()
+            print("[runner] compiling env bring-up (reset)...", flush=True)
             env_state, obs, priv = jax.jit(
                 lambda k: self.env.reset(self.env.init_state(k)))(k_env)
+            jax.block_until_ready(obs)
+            print(f"[runner] bring-up done in {time.time()-t0:.1f}s", flush=True)
             params = self.network.init(k_net, obs[:1], priv[:1])
         finally:
             self.env.axis_name = env_axis

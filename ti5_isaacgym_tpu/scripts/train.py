@@ -10,9 +10,13 @@ from .record_config import record_config
 
 
 def train(args):
+    import time
+
     from ..utils.jax_setup import setup_jax
 
     setup_jax()
+    t0 = time.time()
+    print(f"[train] building env/runner (t=0.0s)", flush=True)
     env, env_cfg = task_registry.make_env(args.task, args)
     runner, train_cfg = task_registry.make_alg_runner(env, args.task, args,
                                                       log_root=args.log_root)
@@ -28,6 +32,8 @@ def train(args):
         runner = ShardedRunner(runner, make_mesh(args.n_devices))
     else:
         resume_path = getattr(runner, "_resume_path", None)
+    print(f"[train] env/runner ready (t={time.time()-t0:.1f}s); "
+          f"bring-up + first-iteration compile next", flush=True)
     carry = runner.load(resume_path) if resume_path else None
     n_iter = train_cfg.runner.max_iterations
     if getattr(args, "profile", None):

@@ -26,7 +26,9 @@ if [[ -d "$dest" ]]; then
 else
   mkdir -p "$(dirname "$dest")"
   tmp="$dest.tmp.$$"
-  cp -r "$newest" "$tmp"
+  # slim: params/opt/curriculum only (~10 MB vs ~100 MB full; see
+  # tools/slim_checkpoint.py) — resume via tools/resume_migrate.py
+  JAX_PLATFORMS=cpu python tools/slim_checkpoint.py "$newest" "$tmp"
   mv "$tmp" "$dest"
   # keep only the newest synced checkpoint per task
   for old in $(ls -d checkpoints/"$task"/*/model_* 2>/dev/null | sort -t_ -k2 -V); do
