@@ -26,9 +26,18 @@ KEEP_ENV_FIELDS = ("terrain_level", "terrain_type", "env_origin",
 def main():
     src, dst = os.path.abspath(sys.argv[1]), os.path.abspath(sys.argv[2])
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    import numpy as np
     import orbax.checkpoint as ocp
 
-    raw = ocp.PyTreeCheckpointer().restore(src)
+    # restore as host numpy: the source may have been written under a
+    # different device topology (e.g. the 8-virtual-device test mesh), whose
+    # sharding cannot be reconstructed here
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(src).item_metadata.tree
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+    raw = ckptr.restore(src, restore_args=restore_args)
     env_state = raw.get("env_state") or {}
     slim = {
         "params": raw["params"],
