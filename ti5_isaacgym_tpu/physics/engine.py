@@ -147,6 +147,13 @@ def substep(
         a0, qdd, sopts.dt,
     )
     qv = jnp.clip(qv, -sopts.max_qvel, sopts.max_qvel)
+    # hard joint stops (mirrors engine_core.substep_stacked): PhysX holds the
+    # URDF limits as rigid constraints; project and kill limit-ward velocity
+    hit_up = qp > model.dof_upper
+    hit_lo = qp < model.dof_lower
+    qv = jnp.where(hit_up, jnp.minimum(qv, 0.0),
+                   jnp.where(hit_lo, jnp.maximum(qv, 0.0), qv))
+    qp = jnp.clip(qp, model.dof_lower, model.dof_upper)
     return PhysicsState(base_pos=bp, base_quat=bq, base_vel=bv, qpos=qp, qvel=qv,
                         cp_anchor=new_anchor), body_f
 

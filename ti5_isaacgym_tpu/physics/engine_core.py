@@ -513,6 +513,20 @@ def substep_stacked(mc: ModelConsts, hscale: float, copts: ContactOpts,
     qvel_n = [jnp.clip(qvel[j] + dt * qdd[j], -sopts.max_qvel, sopts.max_qvel)
               for j in range(nd)]
     qpos_n = [qpos[j] + dt * qvel_n[j] for j in range(nd)]
+    # hard joint stops: PhysX enforces the URDF position limits as rigid
+    # constraints (reference legged_robot.py:849 reads them from the asset and
+    # the solver holds them).  The soft penalty above decelerates near the
+    # stop; this projection makes the stop inviolable — without it, policies
+    # learn to SIT on the penalty springs ~0.2-0.4 rad beyond the limits
+    # (energy-free crouch support), a degenerate optimum real hardware and
+    # the reference simulator both forbid.
+    for j in range(nd):
+        hit_up = qpos_n[j] > dof_upper[j]
+        hit_lo = qpos_n[j] < dof_lower[j]
+        qvel_n[j] = jnp.where(hit_up, jnp.minimum(qvel_n[j], 0.0),
+                              jnp.where(hit_lo, jnp.maximum(qvel_n[j], 0.0),
+                                        qvel_n[j]))
+        qpos_n[j] = jnp.clip(qpos_n[j], dof_lower[j], dof_upper[j])
     ang = s3.v3_norm(bw_n) + 1e-12
     axis = s3.v3_scale(bw_n, 1.0 / ang)
     dq = s3.q_from_axis_angle(axis, ang * dt)
