@@ -90,10 +90,12 @@ class OnPolicyRunner:
         self.num_steps_per_env = train_cfg.runner.num_steps_per_env
         self.seed = train_cfg.seed if seed is None else seed
         self.iteration_count = 0
-        # donate the carry: the iteration is carry -> carry, so donation lets
-        # XLA alias the large env-state/history buffers in place instead of
-        # double-buffering them in HBM
-        self._iter_fn = jax.jit(self._make_iteration(), donate_argnums=0)
+        # donate the carry (opt-in): the iteration is carry -> carry, so
+        # donation lets XLA alias the large env-state/history buffers in
+        # place instead of double-buffering them in HBM.  Off by default
+        # until its interaction with the TPU backend is validated at scale.
+        donate = (0,) if os.environ.get("TI5_DONATE_CARRY", "0") == "1" else ()
+        self._iter_fn = jax.jit(self._make_iteration(), donate_argnums=donate)
         self._csv_file = None
         self._tb = None
         if log_dir is not None:

@@ -141,7 +141,19 @@ class T1DHStandEnv:
             base_vel=jnp.zeros(6), qpos=self.default_dof_pos,
             qvel=jnp.zeros(self.num_actions),
             cp_anchor=jnp.zeros((self.model.cp_pos.shape[0], 3)))
-        self.cp_meff = probe_contact_masses(self.model, nominal, probe_state)
+        cp_meff = probe_contact_masses(self.model, nominal, probe_state)
+        # The implicit-rate contact solve treats each point against its OWN
+        # apparent mass, but all points of one body push that body
+        # simultaneously: a flat foot landing on P points feels P times the
+        # per-point impulse, overshoots, and reverses the velocity — measured
+        # as ~9 kN landing spikes and a persistent pogo bounce (z oscillating
+        # 0.35-1.1 m under pure default-pose PD).  Dividing each point's
+        # apparent mass by its body's point count makes the collective
+        # implicit solve conservative: a flat landing is dead-beat (PhysX
+        # TGS-like), a toe strike merely decelerates over a few substeps.
+        counts = np.bincount(np.asarray(self.model.cp_body),
+                             minlength=self.model.nb).astype(np.float32)
+        self.cp_meff = cp_meff / counts[np.asarray(self.model.cp_body)][:, None]
 
         # reward bank: active terms in config order (scale != 0), x dt
         # (reference _prepare_reward_function, legged_robot.py:352-384)

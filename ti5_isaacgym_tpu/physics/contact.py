@@ -313,6 +313,11 @@ class ContactOpts:
     max_depth: float = struct.field(pytree_node=False, default=0.05)
     max_force: float = struct.field(pytree_node=False, default=2.0e4)
     dt: float = struct.field(pytree_node=False, default=0.001)
+    # PhysX maxDepenetrationVelocity (reference t1_dh_stand_config.py:172):
+    # the normal force may stop the approach but can only impart up to this
+    # much outward velocity per substep — deep-penetration spring energy is
+    # dropped instead of released as launch (the "trampoline" failure mode).
+    max_depen_vel: float = struct.field(pytree_node=False, default=1.0)
 
 
 def point_contact_forces(
@@ -355,6 +360,9 @@ def point_contact_forces(
         k_v = opts.kp * opts.dt + opts.kd
     denom = 1.0 + opts.dt * k_v / m_n
     f_n = jnp.clip((opts.kp * depth - k_v * v_n) / denom, 0.0, opts.max_force) * active
+    # depenetration-velocity cap (PhysX maxDepenetrationVelocity semantics)
+    f_cap = jnp.maximum(m_n * (opts.max_depen_vel - v_n) / opts.dt, 0.0)
+    f_n = jnp.minimum(f_n, f_cap)
 
     # tangential anchor spring, implicit-rate, projected on the friction cone
     v_t = v_w - v_n[..., None] * n

@@ -147,6 +147,8 @@ def substep(
         a0, qdd, sopts.dt,
     )
     qv = jnp.clip(qv, -sopts.max_qvel, sopts.max_qvel)
+    # PhysX-style base velocity caps (mirrors engine_core.substep_stacked)
+    bv = jnp.clip(bv, -sopts.max_qvel, sopts.max_qvel)
     # hard joint stops (mirrors engine_core.substep_stacked): PhysX holds the
     # URDF limits as rigid constraints; project and kill limit-ward velocity
     hit_up = qp > model.dof_upper

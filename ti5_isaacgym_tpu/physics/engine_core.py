@@ -342,6 +342,12 @@ def substep_stacked(mc: ModelConsts, hscale: float, copts: ContactOpts,
     denom = 1.0 + copts.dt * k_v / mn
     f_n = jnp.clip((copts.kp * depth - k_v * v_n) / denom,
                    0.0, copts.max_force) * active
+    # depenetration-velocity cap (PhysX maxDepenetrationVelocity, reference
+    # t1_dh_stand_config.py:172): stop the approach, but impart at most
+    # max_depen_vel of outward velocity — deep-penetration spring energy is
+    # dropped, not released as launch (the "trampoline" failure mode)
+    f_cap = jnp.maximum(mn * (copts.max_depen_vel - v_n) / copts.dt, 0.0)
+    f_n = jnp.minimum(f_n, f_cap)
     vtx, vty, vtz = vx - v_n * nx, vy - v_n * ny, vz - v_n * nz
     dtx, dty, dtz = px - ax_, py - ay_, pz - az_
     d_n = dtx * nx + dty * ny + dtz * nz
@@ -510,6 +516,11 @@ def substep_stacked(mc: ModelConsts, hscale: float, copts: ContactOpts,
     dt = sopts.dt
     bw_n = s3.v3_add(bw, s3.v3_scale(a_a[0], dt))
     bv_n = s3.v3_add(bv, s3.v3_scale(a_base_lin, dt))
+    # PhysX-style rigid-body velocity caps (maxLinearVelocity /
+    # maxAngularVelocity): bounds runaway contact/limit interactions so a
+    # pathological DR draw can't overflow f32 into NaN mid-rollout
+    bw_n = tuple(jnp.clip(c, -sopts.max_qvel, sopts.max_qvel) for c in bw_n)
+    bv_n = tuple(jnp.clip(c, -sopts.max_qvel, sopts.max_qvel) for c in bv_n)
     qvel_n = [jnp.clip(qvel[j] + dt * qdd[j], -sopts.max_qvel, sopts.max_qvel)
               for j in range(nd)]
     qpos_n = [qpos[j] + dt * qvel_n[j] for j in range(nd)]
