@@ -111,6 +111,45 @@ def test_sharded_training_matches_shapes(tmp_path):
     assert bool(jnp.isfinite(metrics4["value_loss"]))
 
 
+@pytest.mark.slow
+def test_deploy_gate_on_runner_checkpoint(tmp_path, trained):
+    """Round-2 regression: export_policy and sim2sim crashed on every
+    runner-SAVED checkpoint (template-vs-full-carry mismatch) because no test
+    ran them against one — the export tests built fresh params in-process.
+    This drives the real seam: train -> runner.save -> both CLIs as
+    subprocesses -> rc 0 and a parsed sim2sim tracking-error line."""
+    import re
+    import subprocess
+    import sys
+
+    runner, _, carry1 = trained
+    run_dir = tmp_path / "TestRun_deploy"
+    runner.save(carry1, path=str(run_dir / "model_2"))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", TI5_PLATFORM="cpu")
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+    r = subprocess.run(
+        [sys.executable, "-m", "ti5_isaacgym_tpu.scripts.export_policy",
+         "--task", "t1_dh_stand", "--log_root", str(tmp_path),
+         "--load_run", "TestRun_deploy", "--out", str(tmp_path / "exported")],
+        capture_output=True, text=True, cwd=root, env=env, timeout=900)
+    assert r.returncode == 0, f"export_policy failed:\n{r.stdout}\n{r.stderr}"
+    for artifact in ("policy_dh.npz", "policy_dh.stablehlo",
+                     "policy_config.yaml", "ti5_dh_policy.onnx"):
+        assert (tmp_path / "exported" / artifact).exists(), artifact
+
+    r = subprocess.run(
+        [sys.executable, "-m", "ti5_isaacgym_tpu.scripts.sim2sim",
+         "--task", "t1_dh_stand", "--steps", "30",
+         "--log_root", str(tmp_path), "--load_run", "TestRun_deploy"],
+        capture_output=True, text=True, cwd=root, env=env, timeout=900)
+    assert r.returncode == 0, f"sim2sim failed:\n{r.stdout}\n{r.stderr}"
+    m = re.search(r"mean \|vx err\| = ([0-9.]+) m/s", r.stdout)
+    assert m, f"no tracking-error line in sim2sim output:\n{r.stdout}"
+    assert np.isfinite(float(m.group(1)))
+
+
 def test_registry_and_cli_overrides():
     from ti5_isaacgym_tpu.utils.helpers import get_args
     from ti5_isaacgym_tpu.utils.registry import task_registry

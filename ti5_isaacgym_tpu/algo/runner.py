@@ -69,8 +69,13 @@ class OnPolicyRunner:
     here the network/algorithm choice is configuration)."""
 
     def __init__(self, env, env_cfg: T1EnvCfg, train_cfg: T1TrainCfg,
-                 log_dir: Optional[str] = None, seed: Optional[int] = None):
+                 log_dir: Optional[str] = None, seed: Optional[int] = None,
+                 verbose: Optional[bool] = None):
         self.env = env
+        # bring-up timing prints: on for the training CLI (which sets
+        # TI5_VERBOSE=1), silent for programmatic construction (tests, eval)
+        self.verbose = (os.environ.get("TI5_VERBOSE", "0") == "1"
+                        if verbose is None else verbose)
         self.env_cfg = env_cfg
         self.train_cfg = train_cfg
         self.log_dir = log_dir
@@ -123,13 +128,15 @@ class OnPolicyRunner:
             k_env, k_net, k_run = jax.random.split(key, 3)
             # jit the whole env bring-up: eager execution would round-trip the
             # compiler for every op on remote-compile TPU backends
-            import time
             t0 = time.time()
-            print("[runner] compiling env bring-up (reset)...", flush=True)
+            if self.verbose:
+                print("[runner] compiling env bring-up (reset)...", flush=True)
             env_state, obs, priv = jax.jit(
                 lambda k: self.env.reset(self.env.init_state(k)))(k_env)
             jax.block_until_ready(obs)
-            print(f"[runner] bring-up done in {time.time()-t0:.1f}s", flush=True)
+            if self.verbose:
+                print(f"[runner] bring-up done in {time.time()-t0:.1f}s",
+                      flush=True)
             params = self.network.init(k_net, obs[:1], priv[:1])
         finally:
             self.env.axis_name = env_axis

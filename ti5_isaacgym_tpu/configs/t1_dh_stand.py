@@ -35,9 +35,12 @@ class EnvSection:
 
     @property
     def num_privileged_obs(self) -> int:
-        return self.c_frame_stack * self.single_num_privileged_obs
+        # with measure_heights each stacked privileged frame widens by the
+        # 187-point scan (reference t1_dh_stand_env.py:466-468,
+        # dh_on_policy_runner.py:47-49)
+        return self.c_frame_stack * self.priv_frame_dim
 
-    # set by T1EnvCfg wiring when terrain.measure_heights is on
+    # set by T1EnvCfg.__post_init__ when terrain.measure_heights is on
     num_height_points: int = 0
 
     @property
@@ -287,6 +290,13 @@ class NormalizationSection:
 
 @dataclass(frozen=True)
 class T1EnvCfg:
+    """Task/env config (reference ``t1_dh_stand_config.py``).
+
+    ``__post_init__`` wires ``env.num_height_points`` from the terrain
+    section so every consumer of ``env.num_privileged_obs`` (network build,
+    runner buffers) agrees with the env's widened privileged frame when
+    ``terrain.measure_heights`` is enabled."""
+
     env: EnvSection = field(default_factory=EnvSection)
     safety: SafetySection = field(default_factory=SafetySection)
     asset: AssetSection = field(default_factory=AssetSection)
@@ -318,6 +328,16 @@ class T1EnvCfg:
     commands: CommandsSection = field(default_factory=CommandsSection)
     rewards: RewardsSection = field(default_factory=RewardsSection)
     normalization: NormalizationSection = field(default_factory=NormalizationSection)
+
+    def __post_init__(self):
+        import dataclasses
+
+        nhp = (self.terrain.num_height_points
+               if self.terrain.measure_heights else 0)
+        if self.env.num_height_points != nhp:
+            object.__setattr__(
+                self, "env",
+                dataclasses.replace(self.env, num_height_points=nhp))
 
 
 # --- training config (reference DHT1StandCfgPPO) ---

@@ -151,6 +151,17 @@ class T1DHStandEnv:
         # apparent mass by its body's point count makes the collective
         # implicit solve conservative: a flat landing is dead-beat (PhysX
         # TGS-like), a toe strike merely decelerates over a few substeps.
+        # Accepted error bound: the divisor is the STATIC per-body point
+        # count, so a 1-of-P contact (toe/heel strike) sees ~P x too little
+        # apparent mass and is proportionally under-stiff — it decelerates
+        # over ~P substeps (P=8 per foot -> <=8 ms at the 1 kHz substep rate,
+        # under one 100 Hz policy step) instead of dead-beat, with
+        # correspondingly deeper transient penetration (sub-mm at walking
+        # impact speeds, bounded by the depenetration cap).  An active-count
+        # divisor would need the contact mask inside the solve (a
+        # stop_gradient dataflow cycle in the implicit step) for a transient
+        # the policy cannot observe at 100 Hz; measured zero-action stands
+        # and landings match the MuJoCo oracle within tolerance as is.
         counts = np.bincount(np.asarray(self.model.cp_body),
                              minlength=self.model.nb).astype(np.float32)
         self.cp_meff = cp_meff / counts[np.asarray(self.model.cp_body)][:, None]

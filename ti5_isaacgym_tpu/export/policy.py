@@ -27,6 +27,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def restore_policy_params(path: str):
+    """Restore only the policy-relevant leaves of a runner checkpoint.
+
+    Runner checkpoints (``algo/runner.py:save``) hold the full training carry
+    (params / opt_state / lr / iteration / env_state / rng); slim checkpoints
+    (``tools/slim_checkpoint.py``) hold a subset with the same key names.
+    Deployment-side consumers (export, sim2sim) only need ``params``, so we
+    restore WITHOUT a pytree template — an untemplated numpy restore works for
+    any checkpoint flavor, any training num_envs, and any source device
+    topology (the reference analogously loads only ``model_state_dict``,
+    ``dh_on_policy_runner.py:311-322``).
+
+    Returns ``(params, iteration)``.
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    src = os.path.abspath(path)
+    meta = ckptr.metadata(src).item_metadata.tree
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+    raw = ckptr.restore(src, restore_args=restore_args)
+    if "params" not in raw:
+        raise KeyError(f"checkpoint {path} has no 'params' subtree "
+                       f"(keys: {sorted(raw)})")
+    iteration = int(np.asarray(raw.get("iteration", -1)))
+    return raw["params"], iteration
+
+
 def _flatten_params(params, prefix="") -> Dict[str, np.ndarray]:
     out = {}
     if isinstance(params, dict):

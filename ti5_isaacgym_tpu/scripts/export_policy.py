@@ -21,6 +21,9 @@ def main(argv=None):
 
     import dataclasses
 
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax()  # honors TI5_PLATFORM=cpu (don't claim the TPU for an export)
     import jax
 
     from ..algo.runner import build_network
@@ -35,7 +38,7 @@ def main(argv=None):
     priv = jnp.zeros((1, env_cfg.env.num_privileged_obs))
     params = network.init(jax.random.PRNGKey(0), obs, priv)
     if not args.random_policy:
-        import orbax.checkpoint as ocp
+        from ..export.policy import restore_policy_params
 
         root = args.log_root or os.path.join(LEGGED_GYM_ROOT, "logs",
                                              train_cfg.runner.experiment_name)
@@ -43,9 +46,11 @@ def main(argv=None):
         if path is None:
             raise FileNotFoundError(f"no checkpoint under {root}")
         print(f"loading {path}")
-        restored = ocp.StandardCheckpointer().restore(
-            os.path.abspath(path), {"params": params})
-        params = restored["params"]
+        # params-only untemplated restore: works on runner full-carry saves
+        # and slim checkpoints alike (the old StandardCheckpointer template
+        # restore crashed on every runner-saved checkpoint)
+        params, it = restore_policy_params(path)
+        print(f"checkpoint iteration {it}")
 
     print("wrote", export_npz(network, params, args.out))
     print("wrote", export_stablehlo(network, params, args.out))

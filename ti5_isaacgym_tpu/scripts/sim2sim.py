@@ -59,7 +59,7 @@ def main(argv=None):
     priv0 = jnp.zeros((1, env_cfg.env.num_privileged_obs))
     params = network.init(jax.random.PRNGKey(0), obs0, priv0)
     if not args.random_policy:
-        import orbax.checkpoint as ocp
+        from ..export.policy import restore_policy_params
 
         root = args.log_root or os.path.join(LEGGED_GYM_ROOT, "logs",
                                              train_cfg.runner.experiment_name)
@@ -67,8 +67,9 @@ def main(argv=None):
         if path is None:
             raise FileNotFoundError(f"no checkpoint under {root}")
         print(f"loading {path}")
-        params = ocp.StandardCheckpointer().restore(
-            os.path.abspath(path), {"params": params})["params"]
+        # params-only untemplated restore (works on full and slim checkpoints)
+        params, it = restore_policy_params(path)
+        print(f"checkpoint iteration {it}")
 
     @jax.jit
     def policy(obs):

@@ -10,10 +10,12 @@ from .record_config import record_config
 
 
 def train(args):
+    import os
     import time
 
     from ..utils.jax_setup import setup_jax
 
+    os.environ.setdefault("TI5_VERBOSE", "1")  # bring-up prints on for the CLI
     setup_jax()
     t0 = time.time()
     print(f"[train] building env/runner (t=0.0s)", flush=True)

@@ -7,8 +7,20 @@ import os
 def setup_jax(cache_dir: str | None = None):
     """Enable the persistent compilation cache (compiles of the full training
     step take minutes on remote-compile TPU backends; caching amortizes them
-    across processes)."""
+    across processes) and honor ``TI5_PLATFORM=cpu``.
+
+    The axon TPU plugin force-registers itself as the default backend and
+    ignores ``JAX_PLATFORMS=cpu``; worse, the TPU tunnel admits exactly ONE
+    client process, so an eval/smoke CLI accidentally claiming it wedges a
+    concurrent training run.  ``TI5_PLATFORM=cpu`` pins the default device to
+    the host CPU (the same workaround ``tests/conftest.py`` uses)."""
     import jax
+
+    if os.environ.get("TI5_PLATFORM", "").lower() == "cpu":
+        try:
+            jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        except RuntimeError:  # pragma: no cover - cpu backend always present
+            pass
 
     cache = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                         os.path.expanduser("~/.cache/ti5_jax"))

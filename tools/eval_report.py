@@ -81,10 +81,15 @@ def plot_curves(run_dir: str, out_png: str) -> dict:
 def run_cmd(args_list, log_path):
     print("+", " ".join(args_list), flush=True)
     with open(log_path, "w") as f:
-        r = subprocess.run(args_list, stdout=f, stderr=subprocess.STDOUT,
-                           cwd=ROOT, timeout=3600)
+        try:
+            r = subprocess.run(args_list, stdout=f, stderr=subprocess.STDOUT,
+                               cwd=ROOT, timeout=3600)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            f.write("\n[eval_report] TIMEOUT after 3600s\n")
+            rc = 124
     out = open(log_path).read()
-    return r.returncode, out
+    return rc, out
 
 
 def main():
@@ -110,6 +115,10 @@ def main():
                     key=lambda s: int(s.split("_")[1]))
     ckpt = models[-1] if models else None
     play_out = s2s_out = ""
+    # Each gate records (name, rc).  A nonzero rc is a FAILED eval, not a
+    # skip: it is reported loudly in EVAL.md and propagates to our exit code
+    # (round-2's report silently printed "(skipped)" over two rc=1 crashes).
+    gates: list = []
     if ckpt and not args.skip_play:
         rc, play_out = run_cmd(
             [sys.executable, "-m", "ti5_isaacgym_tpu.scripts.play",
@@ -122,6 +131,7 @@ def main():
              "--export_traj", os.path.join(out, "t1_traj.npz")],
             os.path.join(out, "play.log"))
         print("play rc:", rc, flush=True)
+        gates.append(("play", rc))
     if ckpt and not args.skip_sim2sim:
         rc, s2s_out = run_cmd(
             [sys.executable, "-m", "ti5_isaacgym_tpu.scripts.sim2sim",
@@ -130,6 +140,7 @@ def main():
              "--log_root", log_root, "--load_run", run_name],
             os.path.join(out, "sim2sim.log"))
         print("sim2sim rc:", rc, flush=True)
+        gates.append(("sim2sim", rc))
 
     # deployment artifacts from the blessed checkpoint (npz + StableHLO +
     # ONNX + controller YAML) — the full reference export surface
@@ -140,12 +151,33 @@ def main():
              "--load_run", run_name, "--out", os.path.join(out, "exported")],
             os.path.join(out, "export.log"))
         print("export rc:", rc, flush=True)
+        gates.append(("export", rc))
 
-    s2s_line = next((l for l in s2s_out.splitlines() if l.startswith("sim2sim:")), "(skipped)")
+    failures = [(n, rc) for n, rc in gates if rc != 0]
+    s2s_rc = dict(gates).get("sim2sim")
+    if s2s_rc is None:
+        s2s_line = "(skipped by --skip_sim2sim)" if ckpt else "(no checkpoint)"
+    elif s2s_rc != 0:
+        s2s_line = f"FAILED (rc={s2s_rc}; see sim2sim.log)"
+    else:
+        s2s_line = next((l for l in s2s_out.splitlines()
+                         if l.startswith("sim2sim:")),
+                        "FAILED (rc=0 but no result line; see sim2sim.log)")
+        if s2s_line.startswith("FAILED"):
+            failures.append(("sim2sim-parse", 0))
+    gate_table = "\n".join(
+        f"| {n} | {'PASSED' if rc == 0 else f'**FAILED** (rc={rc})'} |"
+        for n, rc in gates) or "| (no checkpoint found — nothing ran) | — |"
     with open(os.path.join(out, "EVAL.md"), "w") as f:
         f.write(f"""# Evaluation report — {run_name}
 
 Checkpoint: `{ckpt}` · task `{args.task}`
+
+## Gate results
+
+| gate | result |
+|---|---|
+{gate_table}
 
 ## Windowed training statistics (final ~2% of run)
 
@@ -170,7 +202,18 @@ Checkpoint: `{ckpt}` · task `{args.task}`
 * `t1_traj.npz` — robot-0 qpos trajectory
 * `play.log` / `sim2sim.log` — full eval console output
 """)
+        if failures:
+            f.write("\n## FAILURES\n\n")
+            for n, rc in failures:
+                log = os.path.join(out, f"{n.split('-')[0]}.log")
+                tail = ""
+                if os.path.exists(log):
+                    tail = "".join(open(log).readlines()[-12:])
+                f.write(f"**{n}** exited rc={rc}. Log tail:\n\n```\n{tail}```\n\n")
     print(f"wrote {os.path.join(out, 'EVAL.md')}", flush=True)
+    if failures:
+        print(f"EVAL FAILED: {failures}", file=sys.stderr, flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -10,7 +10,8 @@ task=t1_dh_stand
 num_envs="${1:-4096}"
 iters="${2:-400000}"
 
-slim=$(ls -d checkpoints/"$task"/*/model_* 2>/dev/null | sort -t_ -k2 -V | tail -1 || true)
+# newest by mtime (name sort misorders across month boundaries)
+slim=$(ls -td checkpoints/"$task"/*/model_* 2>/dev/null | head -1 || true)
 stamp=$(date +%b%d_%H-%M-%S)
 logdir="logs/$task/${stamp}_cont"
 if [[ -n "$slim" ]]; then

@@ -13,7 +13,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 task="${1:-t1_dh_stand}"
 
-newest=$(ls -d logs/"$task"/*/model_* 2>/dev/null | sort -t_ -k2 -V | tail -1 || true)
+# newest by mtime — a name sort would order runs by the alphabetic month
+# token (Dec < Feb) and can pick an older run across month boundaries
+newest=$(ls -td logs/"$task"/*/model_* 2>/dev/null | head -1 || true)
 if [[ -z "$newest" ]]; then
   echo "no checkpoints under logs/$task" >&2
   exit 1
@@ -31,7 +33,7 @@ else
   JAX_PLATFORMS=cpu python tools/slim_checkpoint.py "$newest" "$tmp"
   mv "$tmp" "$dest"
   # keep only the newest synced checkpoint per task
-  for old in $(ls -d checkpoints/"$task"/*/model_* 2>/dev/null | sort -t_ -k2 -V); do
+  for old in $(ls -d checkpoints/"$task"/*/model_* 2>/dev/null); do
     [[ "$old" == "$dest" ]] || rm -rf "$old"
   done
   # drop run dirs emptied by pruning
