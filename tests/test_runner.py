@@ -150,6 +150,26 @@ def test_deploy_gate_on_runner_checkpoint(tmp_path, trained):
     assert np.isfinite(float(m.group(1)))
 
 
+def test_resolve_load_path_prefers_newest_run_with_checkpoints(tmp_path):
+    """A freshly created (still-empty) run dir must not shadow the resume
+    target, and run ordering is by mtime (alphabetic month tokens misorder
+    across month boundaries — ADVICE r2)."""
+    import time
+
+    from ti5_isaacgym_tpu.utils.registry import resolve_load_path
+
+    (tmp_path / "Dec30_23-59-59_old" / "model_100").mkdir(parents=True)
+    time.sleep(0.02)
+    (tmp_path / "Aug21_00-00-00_new" / "model_7").mkdir(parents=True)
+    time.sleep(0.02)
+    (tmp_path / "Aug21_00-00-01_fresh_empty").mkdir()
+    got = resolve_load_path(str(tmp_path))
+    assert got == str(tmp_path / "Aug21_00-00-00_new" / "model_7")
+    assert resolve_load_path(str(tmp_path), "Dec30_23-59-59_old") == \
+        str(tmp_path / "Dec30_23-59-59_old" / "model_100")
+    assert resolve_load_path(str(tmp_path), "Aug21_00-00-01_fresh_empty") is None
+
+
 def test_registry_and_cli_overrides():
     from ti5_isaacgym_tpu.utils.helpers import get_args
     from ti5_isaacgym_tpu.utils.registry import task_registry

@@ -16,6 +16,13 @@ def setup_jax(cache_dir: str | None = None):
     the host CPU (the same workaround ``tests/conftest.py`` uses)."""
     import jax
 
+    impl = os.environ.get("TI5_PRNG", "")
+    if impl:
+        # rbg/unsafe_rbg lower to far fewer TPU ops than threefry (the
+        # default); the RNG-heavy post-physics chain (DR resamples, obs
+        # noise, event draws) is launch-bound, so this is a perf lever.
+        jax.config.update("jax_default_prng_impl", impl)
+
     if os.environ.get("TI5_PLATFORM", "").lower() == "cpu":
         try:
             jax.config.update("jax_default_device", jax.devices("cpu")[0])

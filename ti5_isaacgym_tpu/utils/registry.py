@@ -72,16 +72,33 @@ def resolve_load_path(root: str, load_run=-1, checkpoint=-1) -> Optional[str]:
     """Latest-run/latest-model resolution (reference ``helpers.py:94-123``)."""
     if not os.path.isdir(root):
         return None
-    runs = sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+    # newest-by-mtime, not lexicographic: run dirs are named by an
+    # alphabetic month token (Aug21_...) which misorders across month/year
+    # boundaries (Dec < Feb).  The reference sorts lexicographically and has
+    # the same latent bug (helpers.py:100-105).
+    runs = sorted(
+        (d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))),
+        key=lambda d: os.path.getmtime(os.path.join(root, d)))
     if not runs:
         return None
-    run = runs[-1] if load_run in (-1, "-1", None) else str(load_run)
-    run_dir = os.path.join(root, run)
-    if not os.path.isdir(run_dir):
-        return None
-    models = sorted(
-        (d for d in os.listdir(run_dir) if d.startswith("model_")),
-        key=lambda s: int(s.split("_")[1]))
+
+    def models_in(run_dir):
+        return sorted(
+            (d for d in os.listdir(run_dir) if d.startswith("model_")),
+            key=lambda s: int(s.split("_")[1]))
+
+    if load_run in (-1, "-1", None):
+        # newest run that actually HAS checkpoints: the caller's own
+        # freshly-created (empty) run dir must not shadow the resume target
+        candidates = [os.path.join(root, r) for r in reversed(runs)]
+        run_dir = next((d for d in candidates if models_in(d)), None)
+        if run_dir is None:
+            return None
+    else:
+        run_dir = os.path.join(root, str(load_run))
+        if not os.path.isdir(run_dir):
+            return None
+    models = models_in(run_dir)
     if not models:
         return None
     model = models[-1] if checkpoint in (-1, "-1", None) else f"model_{checkpoint}"

@@ -37,6 +37,15 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# the axon TPU plugin ignores JAX_PLATFORMS and the tunnel is single-client:
+# pin the default device to CPU so this tool can never wedge a training run
+import jax  # noqa: E402
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/ti5_jax_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def bench_config(total_envs: int, n_shards: int, iters: int, warmup: int = 2):
     import dataclasses
