@@ -51,9 +51,17 @@ def spec_to_mjcf(
         lo, hi = pts.min(0), pts.max(0)
         half = np.maximum((hi - lo) / 2.0, 0.01)
         center = (hi + lo) / 2.0
+        # contype=1/conaffinity=0: collide with the floor (contype&affinity
+        # 1&1 from the floor side) but NEVER with other robot geoms — the
+        # bounding boxes of adjacent links overlap and their contacts exert
+        # phantom joint torques (measured -120 N*m on an airborne knee,
+        # which pinned the PD at a straight-leg pose).  Isaac Gym's T1 asset
+        # likewise runs with self-collisions off (collapse_fixed_joints +
+        # self_collision bitmask, reference t1_dh_stand_config.py asset
+        # section).
         lines.append(
             f'{indent}<geom type="box" size="{_fmt(half)}" pos="{_fmt(center)}" '
-            f'rgba="0.6 0.6 0.7 1"/>'
+            f'contype="1" conaffinity="0" rgba="0.6 0.6 0.7 1"/>'
         )
 
     def link_viz_xml(i, indent):
@@ -104,6 +112,7 @@ def spec_to_mjcf(
         lines.append(f"{indent}</body>")
 
     header = f"""<mujoco model={quoteattr(spec.get('name', 'robot'))}>
+  <compiler angle="radian"/>
   <option timestep="{timestep}" gravity="0 0 -9.81"/>
   <visual>
     <headlight ambient="0.4 0.4 0.4" diffuse="0.7 0.7 0.7" specular="0.2 0.2 0.2"/>
