@@ -74,6 +74,7 @@ def run_decimation(
     lane_chunk: int = 128,
     feet_bodies: list = None,       # body indices for the ctx output
     knee_bodies: list = None,
+    vma: str = None,                # mesh axis name when called under shard_map
 ) -> Tuple[jnp.ndarray, ...]:
     """One launch for the whole decimation loop.
 
@@ -210,8 +211,15 @@ def run_decimation(
     if with_ctx:
         out_rows = out_rows + (
             ctx_row_layout(len(feet_bodies), len(knee_bodies))["total"],)
-    out_shape = tuple(jax.ShapeDtypeStruct((r, eight, m), jnp.float32)
-                      for r in out_rows)
+    # under shard_map with check_vma, outputs must declare which mesh axes
+    # they vary over (all of them: the kernel is pure per-env data parallel)
+    vma_set = frozenset([vma]) if vma else None
+    if vma_set:
+        out_shape = tuple(jax.ShapeDtypeStruct((r, eight, m), jnp.float32,
+                                               vma=vma_set) for r in out_rows)
+    else:
+        out_shape = tuple(jax.ShapeDtypeStruct((r, eight, m), jnp.float32)
+                          for r in out_rows)
     fn = pl.pallas_call(
         kernel,
         grid=grid,
