@@ -49,6 +49,13 @@ def update_cfg_from_args(env_cfg, train_cfg, args) -> tuple:
                 env_cfg, env=dataclasses.replace(env_cfg.env, num_envs=args.num_envs))
         if getattr(args, "seed", None) is not None:
             train_cfg = dataclasses.replace(train_cfg, seed=args.seed)
+        if getattr(args, "use_ref_actions", None) is not None:
+            # gait bootstrap: add the scripted reference gait to the policy
+            # action (reference cfg.env.use_ref_actions,
+            # t1_dh_stand_config.py env section / t1 step())
+            env_cfg = dataclasses.replace(
+                env_cfg, env=dataclasses.replace(
+                    env_cfg.env, use_ref_actions=bool(args.use_ref_actions)))
     if train_cfg is not None and args is not None:
         runner_updates = {}
         for name in ("max_iterations", "resume", "experiment_name", "run_name",
