@@ -32,6 +32,7 @@ def tiny_runner():
     return OnPolicyRunner(env, cfg, T1TrainCfg(), log_dir=None)
 
 
+@pytest.mark.slow
 def test_slim_roundtrip(tiny_runner, tmp_path):
     from resume_migrate import graft
 

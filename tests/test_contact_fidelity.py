@@ -50,6 +50,7 @@ def _rollout(env, n_steps, actions_fn):
     return state, traj
 
 
+@pytest.mark.slow
 def test_landing_is_dead_beat(quiet_env):
     """Drop from spawn under default-pose PD: contact forces must stay in
     the hundreds of newtons (no ~9 kN impact spikes) and the first second
@@ -71,6 +72,7 @@ def test_landing_is_dead_beat(quiet_env):
     assert not rose.any(), f"passive pogo: z rose {z20} -> {z99}"
 
 
+@pytest.mark.slow
 def test_hard_joint_stops(quiet_env):
     """Max-torque actions cannot push joints materially past the URDF
     limits (PhysX holds them as rigid constraints)."""

@@ -182,3 +182,17 @@ def test_registry_and_cli_overrides():
     env_cfg, train_cfg = update_cfg_from_args(env_cfg, train_cfg, args)
     assert env_cfg.env.num_envs == 8
     assert train_cfg.runner.max_iterations == 3
+
+    # shaping-phase overrides (round-3 gait bootstrap CLI)
+    args = get_args(["--use_ref_actions", "1",
+                     "--reward_scales", "feet_air_time=8,feet_clearance=4"])
+    env_cfg, train_cfg = task_registry.get_cfgs("t1_dh_stand")
+    env_cfg, _ = update_cfg_from_args(env_cfg, train_cfg, args)
+    scales = dict(env_cfg.rewards.scales)
+    assert scales["feet_air_time"] == 8.0 and scales["feet_clearance"] == 4.0
+    assert scales["tracking_lin_vel"] == 1.5     # untouched terms keep values
+    assert env_cfg.env.use_ref_actions is True
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        update_cfg_from_args(env_cfg, train_cfg,
+                             get_args(["--reward_scales", "not_a_term=1"]))

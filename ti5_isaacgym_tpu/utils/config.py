@@ -49,6 +49,21 @@ def update_cfg_from_args(env_cfg, train_cfg, args) -> tuple:
                 env_cfg, env=dataclasses.replace(env_cfg.env, num_envs=args.num_envs))
         if getattr(args, "seed", None) is not None:
             train_cfg = dataclasses.replace(train_cfg, seed=args.seed)
+        if getattr(args, "reward_scales", None):
+            # shaping-phase overrides of individual reward scales
+            over = {}
+            for kv in args.reward_scales.split(","):
+                k, v = kv.split("=")
+                over[k.strip()] = float(v)
+            names = {n for n, _ in env_cfg.rewards.scales}
+            unknown = set(over) - names
+            if unknown:
+                raise ValueError(f"unknown reward terms: {sorted(unknown)}")
+            new_scales = tuple((n, over.get(n, s))
+                               for n, s in env_cfg.rewards.scales)
+            env_cfg = dataclasses.replace(
+                env_cfg, rewards=dataclasses.replace(
+                    env_cfg.rewards, scales=new_scales))
         if getattr(args, "use_ref_actions", None) is not None:
             # gait bootstrap: add the scripted reference gait to the policy
             # action (reference cfg.env.use_ref_actions,

@@ -21,6 +21,10 @@ def get_args(argv=None):
     p.add_argument("--headless", action="store_true", default=True)
     p.add_argument("--use_ref_actions", type=int, default=None, choices=(0, 1),
                    help="override cfg.env.use_ref_actions (gait bootstrap)")
+    p.add_argument("--reward_scales", type=str, default=None,
+                   help="comma list of name=scale overrides for "
+                        "cfg.rewards.scales (shaping phases), e.g. "
+                        "'feet_air_time=8,feet_clearance=4'")
     p.add_argument("--log_root", type=str, default=None)
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--n_devices", type=int, default=None,
