@@ -196,3 +196,10 @@ def test_registry_and_cli_overrides():
     with _pytest.raises(ValueError):
         update_cfg_from_args(env_cfg, train_cfg,
                              get_args(["--reward_scales", "not_a_term=1"]))
+
+    # --seed must land on train_cfg even on the make_alg_runner path, which
+    # re-applies the overlay with env_cfg=None (r4 regression: the seed
+    # override previously lived in the env_cfg-gated block and was skipped)
+    _, train_cfg2 = update_cfg_from_args(None, train_cfg,
+                                         get_args(["--seed", "123"]))
+    assert train_cfg2.seed == 123

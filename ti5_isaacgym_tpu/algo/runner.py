@@ -241,15 +241,22 @@ class OnPolicyRunner:
         depth = max(0, int(os.environ.get("TI5_LOG_PIPELINE", "4")))
         pending: deque = deque()          # (global_it, device metrics)
         t_last_proc = [time.time()]
+        n_processed = [0]
 
-        def process(git, metrics):
+        def process(git, metrics, steady=True):
             nonlocal win_count, win_rew, win_len
             metrics = jax.tree.map(np.asarray, jax.device_get(metrics))
             now = time.time()
             # steady-state device time per iteration == time between
-            # successive consumptions at constant pipeline depth
+            # successive consumptions at constant pipeline depth.  The first
+            # processed row absorbs compile + pipeline-fill time and the
+            # final `depth` rows drain back-to-back, so both get fps=nan
+            # instead of a wildly deflated/inflated number (ADVICE r3).
             dt_iter = max(now - t_last_proc[0], 1e-9)
             t_last_proc[0] = now
+            if n_processed[0] == 0 or not steady:
+                dt_iter = float("nan")
+            n_processed[0] += 1
             d = float(metrics["done_count"])
             ep_window.append((d, float(metrics["ep_reward_sum"]),
                               float(metrics["ep_len_sum"])))
@@ -286,7 +293,12 @@ class OnPolicyRunner:
             if self.log_dir and save_interval and (self.iteration_count % save_interval == 0):
                 self.save(carry)
         while pending:
-            process(*pending.popleft())
+            process(*pending.popleft(), steady=False)
+        if self.log_dir and save_interval and num_iterations > 0 \
+                and self.iteration_count % save_interval != 0:
+            # final checkpoint so short runs (phase scripts, smoke tests)
+            # always leave a resumable artifact
+            self.save(carry)
         wall = time.time() - t_start
         print(f"learn done: {num_iterations} iterations, "
               f"{num_iterations * samples_per_iter / max(wall, 1e-9):,.0f} env-steps/s avg",
@@ -335,7 +347,8 @@ class OnPolicyRunner:
         w.add_scalar("Loss/learning_rate", float(metrics["lr"]), it)
         w.add_scalar("Policy/mean_noise_std", float(metrics["mean_noise_std"]), it)
         w.add_scalar("Policy/kl", float(metrics["kl"]), it)
-        w.add_scalar("Perf/total_fps", fps, it)
+        if np.isfinite(fps):
+            w.add_scalar("Perf/total_fps", fps, it)
         w.add_scalar("Train/mean_reward", mean_ep_rew, it)
         w.add_scalar("Train/mean_episode_length", mean_ep_len, it)
         w.add_scalar("Episode/max_command_x", float(metrics["max_command_x"]), it)

@@ -688,7 +688,8 @@ class T1DHStandEnv:
             ctrl_rows, lagged_rows, noise_rows, extw_rows,
             interpret=self._mega_interpret,
             feet_bodies=list(self.model.feet_bodies),
-            knee_bodies=list(self.model.knee_bodies))
+            knee_bodies=list(self.model.knee_bodies),
+            vma=self.axis_name)
 
         def unlead(x):  # [C, 8, M] -> [8, M, C]
             return jnp.moveaxis(x, 0, -1)

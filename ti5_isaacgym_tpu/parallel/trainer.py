@@ -114,15 +114,14 @@ class ShardedRunner:
 
         in_specs = (carry_specs(carry, self.runner.env.num_envs),)
         out_specs = (in_specs[0], P())
-        # check_vma=False: the jax-0.9 varying-axes checker cannot track the
-        # Pallas decimation kernel's outputs through the rollout scan carry
-        # ("Scan carry input and output got mismatched varying manual axes")
-        # — the computation is plain per-env data parallelism with explicit
-        # psum/pmean collectives, which the classic shard_map semantics
-        # handle exactly.
+        # check_vma=True: the varying-axes checker is ON.  The Pallas
+        # decimation kernel declares its outputs varying over the data axis
+        # (megakernel.run_decimation(..., vma=env.axis_name) threads the mesh
+        # axis into each output ShapeDtypeStruct), so the rollout scan carry
+        # stays consistently `varying` end to end instead of flipping to
+        # unvarying at the kernel boundary.
         fn = shard_map(self._sharded_iteration, mesh=self.mesh,
-                       in_specs=in_specs, out_specs=out_specs,
-                       check_vma=False)
+                       in_specs=in_specs, out_specs=out_specs)
         self._iter_fn = jax.jit(fn)
         return self._iter_fn
 

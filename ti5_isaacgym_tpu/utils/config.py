@@ -47,8 +47,6 @@ def update_cfg_from_args(env_cfg, train_cfg, args) -> tuple:
         if getattr(args, "num_envs", None) is not None:
             env_cfg = dataclasses.replace(
                 env_cfg, env=dataclasses.replace(env_cfg.env, num_envs=args.num_envs))
-        if getattr(args, "seed", None) is not None:
-            train_cfg = dataclasses.replace(train_cfg, seed=args.seed)
         if getattr(args, "reward_scales", None):
             # shaping-phase overrides of individual reward scales
             over = {}
@@ -72,6 +70,12 @@ def update_cfg_from_args(env_cfg, train_cfg, args) -> tuple:
                 env_cfg, env=dataclasses.replace(
                     env_cfg.env, use_ref_actions=bool(args.use_ref_actions)))
     if train_cfg is not None and args is not None:
+        # NB: must live in the train_cfg section — make_alg_runner re-applies
+        # the overlay with env_cfg=None, which previously skipped the seed
+        # (the runner then trained from the config default regardless of
+        # --seed; the env itself got the CLI seed via make_env)
+        if getattr(args, "seed", None) is not None:
+            train_cfg = dataclasses.replace(train_cfg, seed=args.seed)
         runner_updates = {}
         for name in ("max_iterations", "resume", "experiment_name", "run_name",
                      "load_run", "checkpoint"):

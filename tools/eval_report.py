@@ -135,8 +135,8 @@ def main():
     if ckpt and not args.skip_sim2sim:
         rc, s2s_out = run_cmd(
             [sys.executable, "-m", "ti5_isaacgym_tpu.scripts.sim2sim",
-             "--task", args.task, "--steps", str(args.steps),
-             "--command", "0.4", "0.0", "0.0",
+             "--task", args.task, "--steps", str(max(args.steps, 2000)),
+             "--sweep", "--episodes", "2",
              "--log_root", log_root, "--load_run", run_name],
             os.path.join(out, "sim2sim.log"))
         print("sim2sim rc:", rc, flush=True)
@@ -153,7 +153,6 @@ def main():
         print("export rc:", rc, flush=True)
         gates.append(("export", rc))
 
-    failures = [(n, rc) for n, rc in gates if rc != 0]
     s2s_rc = dict(gates).get("sim2sim")
     if s2s_rc is None:
         s2s_line = "(skipped by --skip_sim2sim)" if ckpt else "(no checkpoint)"
@@ -164,7 +163,12 @@ def main():
                          if l.startswith("sim2sim:")),
                         "FAILED (rc=0 but no result line; see sim2sim.log)")
         if s2s_line.startswith("FAILED"):
-            failures.append(("sim2sim-parse", 0))
+            # rc=0 but no parseable result: the gate itself is a failure —
+            # reflected in the table AND the failures list (ADVICE r3: the
+            # two must not contradict each other)
+            gates = [(n, rc if n != "sim2sim" else 1) for n, rc in gates]
+            gates.append(("sim2sim-parse", 1))
+    failures = [(n, rc) for n, rc in gates if rc != 0]
     gate_table = "\n".join(
         f"| {n} | {'PASSED' if rc == 0 else f'**FAILED** (rc={rc})'} |"
         for n, rc in gates) or "| (no checkpoint found — nothing ran) | — |"
@@ -190,10 +194,11 @@ Checkpoint: `{ckpt}` · task `{args.task}`
 
 ![training curves](training_curves.png)
 
-## Sim-to-sim transfer (MuJoCo, 0.4 m/s forward command)
+## Sim-to-sim transfer (MuJoCo, command sweep x randomized models)
 
 ```
 {s2s_line}
+{chr(10).join(l for l in (s2s_out or "").splitlines() if l.startswith("sweep "))}
 ```
 
 ## Artifacts
