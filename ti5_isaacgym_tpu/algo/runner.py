@@ -121,8 +121,10 @@ class OnPolicyRunner:
         # path even when a ShardedRunner has bound them
         env_axis = getattr(self.env, "axis_name", None)
         alg_axis = getattr(self.alg, "axis_name", None)
+        env_vma = getattr(self.env, "vma_axis", None)
         self.env.axis_name = None
         self.alg.axis_name = None
+        self.env.vma_axis = None
         try:
             key = jax.random.PRNGKey(self.seed)
             k_env, k_net, k_run = jax.random.split(key, 3)
@@ -141,6 +143,7 @@ class OnPolicyRunner:
         finally:
             self.env.axis_name = env_axis
             self.alg.axis_name = alg_axis
+            self.env.vma_axis = env_vma
         ts = init_train_state(self.ppo_cfg, params)
         n = obs.shape[0]
         return RunnerCarry(

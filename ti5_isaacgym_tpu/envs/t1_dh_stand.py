@@ -689,7 +689,7 @@ class T1DHStandEnv:
             interpret=self._mega_interpret,
             feet_bodies=list(self.model.feet_bodies),
             knee_bodies=list(self.model.knee_bodies),
-            vma=self.axis_name)
+            vma=getattr(self, "vma_axis", self.axis_name))
 
         def unlead(x):  # [C, 8, M] -> [8, M, C]
             return jnp.moveaxis(x, 0, -1)

@@ -83,14 +83,26 @@ class ShardedRunner:
     """Wraps an :class:`~ti5_isaacgym_tpu.algo.runner.OnPolicyRunner` so its
     jitted iteration runs under ``shard_map`` on a device mesh."""
 
-    def __init__(self, runner, mesh: Mesh):
+    def __init__(self, runner, mesh: Mesh, check_vma: bool = True):
         from jax import shard_map
 
         self.runner = runner
         self.mesh = mesh
+        # True (default): shard_map's varying-axes checker is ON — the Pallas
+        # decimation kernel declares its outputs varying via
+        # megakernel.run_decimation(vma=...) and promotes constant inputs
+        # with pvary, which the production t1_dh_stand config compiles
+        # cleanly under (driver dryrun).  False is a documented escape for
+        # configs that trip jax-0.9 vma bugs in the *interpret-mode* Pallas
+        # path (t1_flat with DR off: KeyError 'closed_call' inside the
+        # vma-typed elu custom-jvp jaxpr) — used only by the CPU-mesh
+        # equivalence test, whose subject is numerics, not the checker.
+        self.check_vma = check_vma
         self.n_shards = mesh.devices.size
         runner.alg.axis_name = AXIS          # turns on psum in the update
         runner.env.axis_name = AXIS          # turns on psum in env curricula
+        # megakernel output-vma declarations only when the checker is on
+        runner.env.vma_axis = AXIS if self.check_vma else None
         base_iteration = runner._make_iteration()
 
         num_envs = runner.env.num_envs
@@ -114,14 +126,9 @@ class ShardedRunner:
 
         in_specs = (carry_specs(carry, self.runner.env.num_envs),)
         out_specs = (in_specs[0], P())
-        # check_vma=True: the varying-axes checker is ON.  The Pallas
-        # decimation kernel declares its outputs varying over the data axis
-        # (megakernel.run_decimation(..., vma=env.axis_name) threads the mesh
-        # axis into each output ShapeDtypeStruct), so the rollout scan carry
-        # stays consistently `varying` end to end instead of flipping to
-        # unvarying at the kernel boundary.
         fn = shard_map(self._sharded_iteration, mesh=self.mesh,
-                       in_specs=in_specs, out_specs=out_specs)
+                       in_specs=in_specs, out_specs=out_specs,
+                       check_vma=self.check_vma)
         self._iter_fn = jax.jit(fn)
         return self._iter_fn
 

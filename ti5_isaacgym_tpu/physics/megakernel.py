@@ -220,17 +220,27 @@ def run_decimation(
     else:
         out_shape = tuple(jax.ShapeDtypeStruct((r, eight, m), jnp.float32)
                           for r in out_rows)
+    inputs = (state_rows, anchor_rows, cell_rows, dyn_rows, ctrl_rows,
+              lagged_rows, noise_rows, extw_rows, meff_rows)
+    if vma_set:
+        # under shard_map with the varying-axes checker, inputs that happen
+        # to be mesh-wide constants (e.g. noise_rows == ones when a DR flag
+        # is off) are typed unvarying; the kernel's outputs are declared
+        # varying, so promote any not-yet-varying input for a consistent type
+        def to_varying(a):
+            have = getattr(jax.typeof(a), "vma", frozenset())
+            missing = tuple(ax for ax in vma_set if ax not in have)
+            return jax.lax.pvary(a, missing) if missing else a
+
+        inputs = tuple(to_varying(a) for a in inputs)
     fn = pl.pallas_call(
         kernel,
         grid=grid,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-        in_specs=[in_spec(int(a.shape[0])) for a in
-                  (state_rows, anchor_rows, cell_rows, dyn_rows, ctrl_rows,
-                   lagged_rows, noise_rows, extw_rows, meff_rows)],
+        in_specs=[in_spec(int(a.shape[0])) for a in inputs],
         out_specs=tuple(in_spec(r) for r in out_rows),
         out_shape=out_shape,
         interpret=interpret,
     )
-    return fn(state_rows, anchor_rows, cell_rows, dyn_rows, ctrl_rows,
-              lagged_rows, noise_rows, extw_rows, meff_rows)
+    return fn(*inputs)

@@ -83,9 +83,18 @@ def resolve_load_path(root: str, load_run=-1, checkpoint=-1) -> Optional[str]:
         return None
 
     def models_in(run_dir):
-        return sorted(
-            (d for d in os.listdir(run_dir) if d.startswith("model_")),
-            key=lambda s: int(s.split("_")[1]))
+        # only completed checkpoints: orbax writes in-flight saves as
+        # `model_N.orbax-checkpoint-tmp...` dirs, which an eval racing a
+        # live trainer must skip (and must not crash the int parse on)
+        named = []
+        for d in os.listdir(run_dir):
+            if not d.startswith("model_"):
+                continue
+            try:
+                named.append((int(d.split("_")[1]), d))
+            except ValueError:
+                continue
+        return [d for _, d in sorted(named)]
 
     if load_run in (-1, "-1", None):
         # newest run that actually HAS checkpoints: the caller's own
