@@ -149,6 +149,25 @@ def test_deploy_gate_on_runner_checkpoint(tmp_path, trained):
     assert m, f"no tracking-error line in sim2sim output:\n{r.stdout}"
     assert np.isfinite(float(m.group(1)))
 
+    # hardened sweep gate mechanics (r4): command table x randomized models;
+    # the 2-iteration policy falls, so the required gates FAIL -> rc 1, but
+    # every command row and the machine-readable table must be emitted
+    import json as _json
+
+    r = subprocess.run(
+        [sys.executable, "-m", "ti5_isaacgym_tpu.scripts.sim2sim",
+         "--task", "t1_dh_stand", "--sweep", "--episodes", "1",
+         "--log_root", str(tmp_path), "--load_run", "TestRun_deploy"],
+        capture_output=True, text=True, cwd=root, env=env, timeout=900)
+    assert r.returncode == 1, f"expected failing gates:\n{r.stdout}\n{r.stderr}"
+    table_line = next(l for l in r.stdout.splitlines()
+                      if l.startswith("sim2sim_table: "))
+    table = _json.loads(table_line.split(": ", 1)[1].replace("Infinity", "1e30"))
+    assert [row["name"] for row in table] == \
+        ["stand", "fwd_0.4", "fwd_1.0", "lat_0.3", "turn_0.5"]
+    assert sum(row["required"] for row in table) == 2
+    assert all(0.0 <= row["survival"] <= 1.0 for row in table)
+
 
 def test_resolve_load_path_prefers_newest_run_with_checkpoints(tmp_path):
     """A freshly created (still-empty) run dir must not shadow the resume

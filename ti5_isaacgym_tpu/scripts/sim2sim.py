@@ -92,7 +92,9 @@ def run_episode(env_cfg, policy, cmd, steps, model, jnp, mujoco, jax,
     dec = c.control.decimation
     dt_pol = dec * c.sim.dt
     stand = np.linalg.norm(cmd) <= c.commands.stand_com_threshold
-    settle = int(settle_s / dt_pol)
+    # tracking stats skip the initial transient, but short probe horizons
+    # (CLI --steps below 2*settle) must still produce samples
+    settle = min(int(settle_s / dt_pol), steps // 2)
     err_acc = np.zeros(3)
     n_acc, t_alive, fell = 0, 0, False
     for step in range(steps):
