@@ -45,14 +45,33 @@ def main():
     it = runner._iter_fn
     for _ in range(warmup):
         carry, metrics = it(carry)
-    jax.block_until_ready(carry.ts.params)
-    t0 = time.time()
-    for _ in range(iters):
-        carry, metrics = it(carry)
-    jax.block_until_ready(carry.ts.params)
-    dt = time.time() - t0
+    jax.block_until_ready((carry, metrics))
     steps = iters * num_envs * runner.num_steps_per_env
-    rate = steps / dt
+
+    def timed_window():
+        t0 = time.time()
+        c, m = carry, None
+        for _ in range(iters):
+            c, m = it(c)
+        jax.block_until_ready((c, m))
+        return steps / (time.time() - t0)
+
+    # One measured flake (round 4): immediately after the second-compile
+    # warmup, a chained window returned in ~5 ms — a transiently wrong
+    # block_until_ready through the remote-TPU tunnel.  An iteration of this
+    # program is >= 50 ms on any real backend, so rates above 20 M steps/s
+    # are physically impossible; retry with per-iteration blocking, which
+    # cannot under-measure.
+    rate = timed_window()
+    for _ in range(3):
+        if rate < 20e6:
+            break
+        t0 = time.time()
+        c = carry
+        for _ in range(iters):
+            c, m = it(c)
+            jax.block_until_ready(c.ts.params)
+        rate = steps / (time.time() - t0)
     print(json.dumps({
         "metric": "env_steps_per_s_per_chip",
         "value": round(rate, 1),

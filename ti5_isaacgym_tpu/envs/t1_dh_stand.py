@@ -658,12 +658,18 @@ class T1DHStandEnv:
         L = lagb2.shape[-1]
         if dr.add_lag:
             lag2 = r2(state.params.lag_steps)                   # [8,M] int
-            lag_ks = []
-            for k in range(dec):
-                idx = jnp.clip(lag2 - (k + 1), 0, L - 1)
-                prev_k = jnp.take_along_axis(
-                    lagb2, idx[..., None, None], axis=-1)[..., 0]
-                lag_ks.append(jnp.where((lag2 <= k)[..., None], a_scaled, prev_k))
+            # one-hot ring reads for all `dec` substeps in one fused
+            # multiply-sum (a take_along_axis per substep scalarizes on TPU —
+            # same pathology as legged.read_ring, see its docstring)
+            ar = jnp.arange(L, dtype=lag2.dtype)
+            idx = jnp.clip(lag2[..., None] - (jnp.arange(dec, dtype=lag2.dtype)
+                                              [None, None] + 1), 0, L - 1)
+            sel = (idx[..., None] == ar).astype(lagb2.dtype)    # [8,M,dec,L]
+            prev = jnp.sum(lagb2[..., None, :, :] * sel[..., None, :],
+                           axis=-1)                             # [8,M,dec,nd]
+            lag_ks = [
+                jnp.where((lag2 <= k)[..., None], a_scaled, prev[..., k, :])
+                for k in range(dec)]
             lagged_rows = jnp.concatenate([lead(x) for x in lag_ks], axis=0)
             new_lagb = jnp.concatenate([
                 jnp.repeat(a_scaled[..., None], min(dec, L), axis=-1),
