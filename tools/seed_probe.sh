@@ -9,6 +9,13 @@
 #
 #   tools/seed_probe.sh [seed ...]        # default: 21 22 23 24 25 26
 # Env: NUM_ENVS (4096) PROBE_ITERS (1500) THRESH (5e-4)
+#
+# Refined protocol from the round-4 probe campaign (8 seeds): the walker
+# (s1) separates by it 300 (airt 7.5e-4, clearance 0.02 vs shuffle 2e-4 /
+# 0.004) and rises monotonically; one seed (17) matched the walker at 200
+# then collapsed by 300 — so read the signature at PROBE_ITERS and only
+# after a 500-iteration confirmation window (the default window below
+# averages it 1000-1500, past any transient).
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
