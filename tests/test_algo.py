@@ -136,3 +136,63 @@ def test_estimator_loss_targets_linvel_slice():
     est = net.apply(params, obs, method="estimate_velocity")
     want = float(jnp.mean(jnp.square(est - jnp.asarray([1.0, 2.0, 3.0]))))
     np.testing.assert_allclose(float(est_loss), want, rtol=1e-5)
+
+
+def test_update_dataflow_matches_reference_semantics():
+    """The round-4 restructured update (python-unrolled loops, per-minibatch
+    fused gathers, packed small-tensor gather — algo/ppo.py) must be
+    numerically equivalent to a direct transcription of the reference
+    generator semantics (one permutation, [M, B] chunks in order, reused
+    across epochs; rollout_storage.py:129-173) — protecting the perf
+    dataflow against silent semantic drift in future refactors."""
+    import optax
+
+    cfg = PPOConfig(num_learning_epochs=2, num_mini_batches=4, learning_rate=1e-5)
+    net = nets.ActorCriticDH()
+    obs, priv, actions, rewards, dones = _synthetic_batch(jax.random.PRNGKey(7))
+    params = net.init(jax.random.PRNGKey(8), obs[0], priv[0])
+    alg = PPO(cfg, net)
+    ts = init_train_state(cfg, params)
+    mean, std = net.apply(params, obs.reshape(-1, obs.shape[-1]), method="distribution")
+    T, N = rewards.shape
+    traj = Transition(
+        obs=obs, critic_obs=priv, actions=actions, rewards=rewards, dones=dones,
+        values=jnp.zeros((T, N)),
+        log_probs=nets.log_prob(mean, std, actions.reshape(-1, 12)).reshape(T, N),
+        mu=mean.reshape(T, N, 12), sigma=std.reshape(T, N, 12))
+    returns, adv = compute_gae(traj, jnp.zeros((N,)), cfg.gamma, cfg.lam)
+    key = jax.random.PRNGKey(9)
+
+    # direct reference-semantics transcription
+    def reference_update(ts, traj, returns, advantages, key):
+        from ti5_isaacgym_tpu.algo.rollout import flatten_batch, minibatch_indices
+
+        flat = flatten_batch(traj)._replace(rewards=None, dones=None)
+        flat_ret = returns.reshape(-1)
+        flat_adv = advantages.reshape(-1)
+        idx = minibatch_indices(key, flat_ret.shape[0], cfg.num_mini_batches)
+        for _ in range(cfg.num_learning_epochs):
+            for b in range(cfg.num_mini_batches):
+                bidx = idx[b]
+                mb = jax.tree.map(lambda x: x[bidx], flat)
+                (loss, aux), grads = jax.value_and_grad(alg._loss, has_aux=True)(
+                    ts.params, mb, flat_ret[bidx], flat_adv[bidx])
+                _, _, _, mu_new, sigma_new = aux
+                kl = jnp.mean(nets.gaussian_kl(mb.mu, mb.sigma, mu_new, sigma_new))
+                lr = ts.lr
+                lr = jnp.where(kl > cfg.desired_kl * 2.0,
+                               jnp.maximum(cfg.min_lr, lr / 1.5), lr)
+                lr = jnp.where((kl < cfg.desired_kl / 2.0) & (kl > 0.0),
+                               jnp.minimum(cfg.max_lr, lr * 1.5), lr)
+                updates, opt_state = alg.optimizer.update(grads, ts.opt_state, ts.params)
+                updates = jax.tree.map(lambda u: -lr * u, updates)
+                ts = ts.replace(params=optax.apply_updates(ts.params, updates),
+                                opt_state=opt_state, lr=lr,
+                                update_count=ts.update_count + 1)
+        return ts
+
+    ts_ref = jax.jit(reference_update)(ts, traj, returns, adv, key)
+    ts_new, _ = jax.jit(alg.update)(ts, traj, returns, adv, key)
+    for a, b in zip(jax.tree.leaves(ts_ref.params), jax.tree.leaves(ts_new.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(ts_ref.lr), float(ts_new.lr), rtol=1e-6)
