@@ -15,7 +15,11 @@ def _mk_env(megakernel: bool, **terrain_kw):
     cfg = dataclasses.replace(
         cfg,
         env=dataclasses.replace(cfg.env, num_envs=16),
-        sim=dataclasses.replace(cfg.sim, megakernel=megakernel),
+        # megakernel_interpret forces the interpreted kernel on CPU (the
+        # production CPU default is the scan path) — equivalence is the
+        # whole point of this test
+        sim=dataclasses.replace(cfg.sim, megakernel=megakernel,
+                                megakernel_interpret=True),
         # identical RNG streams in both paths require the per-substep torque
         # noise off (the streams differ by construction, not the math)
         domain_rand=dataclasses.replace(cfg.domain_rand, randomize_torque=False),
@@ -81,7 +85,8 @@ def test_megakernel_matches_scan_path_under_events():
         cfg = dataclasses.replace(
             cfg,
             env=dataclasses.replace(cfg.env, num_envs=16),
-            sim=dataclasses.replace(cfg.sim, megakernel=megakernel),
+            sim=dataclasses.replace(cfg.sim, megakernel=megakernel,
+                                    megakernel_interpret=True),
             domain_rand=dataclasses.replace(cfg.domain_rand,
                                             randomize_torque=False, **over),
             terrain=dataclasses.replace(cfg.terrain, num_rows=2, num_cols=2,

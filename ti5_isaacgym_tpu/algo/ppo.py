@@ -8,10 +8,12 @@ privileged observation at ``lin_vel_idx``) to the PPO loss
 loss, exactly as the reference does (its separate estimator optimizer is
 created but its step is commented out, ``dh_ppo.py:184-189``).
 
-TPU-first: the whole update (epochs x minibatches) is a nested ``lax.scan``
-over one random permutation of the flattened ``[T*N]`` batch; the adaptive-KL
-learning rate is a carried scalar applied after ``scale_by_adam`` so no
-optimizer rebuild is ever traced.
+TPU-first: the update is a PYTHON-UNROLLED epochs x minibatches dataflow over
+one random permutation of the flattened ``[T*N]`` batch (see ``update()`` —
+per-minibatch gathers fuse into the consumer layouts; the earlier nested
+``lax.scan`` forced extra full-batch HBM passes); the adaptive-KL learning
+rate is a carried scalar applied after ``scale_by_adam`` so no optimizer
+rebuild is ever traced.
 """
 from __future__ import annotations
 
@@ -169,8 +171,22 @@ class PPO:
         g_small = packed[fidx]
 
         def mb_step(ts: TrainState, mb, mb_ret, mb_adv):
+            params_in = ts.params
+            if self.axis_name is not None:
+                # Differentiate wrt a VARYING copy of the replicated params.
+                # Under vma-typed shard_map (check_vma=True) ``jax.grad`` of
+                # unvarying params auto-psums the cotangent (the transpose of
+                # the unvarying->varying broadcast), which silently turns the
+                # pmean below into a no-op and leaves gradients scaled by the
+                # shard count (scale-invisible to Adam's direction, but wrong
+                # — and inconsistent with the check_vma=False semantics).
+                # Casting first keeps the cotangent local; the pmean then
+                # really averages (verified by the 2-process gradient test,
+                # tests/test_parallel.py::test_multihost_two_process_update).
+                params_in = jax.lax.pcast(params_in, self.axis_name,
+                                          to="varying")
             (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                ts.params, mb, mb_ret, mb_adv)
+                params_in, mb, mb_ret, mb_adv)
             surrogate_loss, v_loss, est_loss, mu_new, sigma_new = aux
 
             # adaptive-KL LR (reference dh_ppo.py:139-151): measured with the

@@ -125,6 +125,12 @@ class SimSection:
     # fuse the whole decimation loop into one Pallas kernel launch
     # (physics/megakernel.py); False falls back to the lax.scan path
     megakernel: bool = True
+    # On the CPU backend the kernel can only run through the Pallas HLO
+    # interpreter — slower than the scan path and subject to a jax-0.9
+    # interpret-mode vma bug under check_vma shard_map (scan-carry varying-
+    # axes mismatch).  CPU therefore uses the scan path unless this flag
+    # forces the interpreted kernel (the megakernel equivalence tests do).
+    megakernel_interpret: bool = False
 
 
 @dataclass(frozen=True)

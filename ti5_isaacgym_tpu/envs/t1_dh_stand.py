@@ -537,7 +537,13 @@ class T1DHStandEnv:
         # megakernel resolves the action lag outside the kernel); the
         # reference keeps this flag always-False for t1
         use_mk = (getattr(cfg.sim, "megakernel", True) and rows == 8
-                  and not (dr.add_lag and dr.randomize_lag_timesteps_perstep))
+                  and not (dr.add_lag and dr.randomize_lag_timesteps_perstep)
+                  # CPU = interpret-mode Pallas only: slower than scan and
+                  # trips the jax-0.9 interpret+vma scan-carry bug, so the
+                  # scan path is the CPU default (tests force the kernel
+                  # via sim.megakernel_interpret to check equivalence)
+                  and (not self._mega_interpret
+                       or getattr(cfg.sim, "megakernel_interpret", False)))
         if use_mk:
             (phys2, lagb, dof_lagb, imu_lagb, torques, cforces2, cx) = \
                 self._decimation_megakernel(state, phys2, params2, actions2,

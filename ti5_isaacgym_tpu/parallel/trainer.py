@@ -92,11 +92,10 @@ class ShardedRunner:
         # decimation kernel declares its outputs varying via
         # megakernel.run_decimation(vma=...) and promotes constant inputs
         # with pvary, which the production t1_dh_stand config compiles
-        # cleanly under (driver dryrun).  False is a documented escape for
-        # configs that trip jax-0.9 vma bugs in the *interpret-mode* Pallas
-        # path (t1_flat with DR off: KeyError 'closed_call' inside the
-        # vma-typed elu custom-jvp jaxpr) — used only by the CPU-mesh
-        # equivalence test, whose subject is numerics, not the checker.
+        # cleanly under (driver dryrun).  On the CPU backend the env routes
+        # decimation through the scan path (envs/t1_dh_stand.py use_mk), so
+        # interpret-mode Pallas vma bugs cannot arise and nothing in the
+        # tree disables the checker anymore (VERDICT r4 item 6).
         self.check_vma = check_vma
         self.n_shards = mesh.devices.size
         runner.alg.axis_name = AXIS          # turns on psum in the update

@@ -16,6 +16,11 @@ def train(args):
     from ..utils.jax_setup import setup_jax
 
     os.environ.setdefault("TI5_VERBOSE", "1")  # bring-up prints on for the CLI
+    if getattr(args, "coordinator", None) is not None:
+        # multi-host single-program bring-up; must precede first backend use
+        from ..parallel import distributed_init
+
+        distributed_init(args.coordinator, args.num_processes, args.process_id)
     setup_jax()
     t0 = time.time()
     print(f"[train] building env/runner (t=0.0s)", flush=True)

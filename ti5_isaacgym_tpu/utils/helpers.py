@@ -33,6 +33,17 @@ def get_args(argv=None):
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of iterations "
                         "3-5 into DIR (open with TensorBoard/XProf)")
+    # multi-host bring-up (SURVEY §5.8; exercised 2-process by
+    # tests/test_parallel.py::test_multihost_two_process_update).  On TPU
+    # pods jax.distributed.initialize() autodetects all three from the
+    # environment, so --coordinator alone (or none) is typical there.
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="coordinator address host:port for "
+                        "jax.distributed.initialize (multi-host training)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="total number of processes in the multi-host job")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's index in the multi-host job")
     return p.parse_args(argv)
 
 
