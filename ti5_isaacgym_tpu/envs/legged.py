@@ -160,15 +160,17 @@ def push_ring(buf: jnp.ndarray, new: jnp.ndarray) -> jnp.ndarray:
 def read_ring(buf: jnp.ndarray, steps: jnp.ndarray) -> jnp.ndarray:
     """Per-env lagged read: buf [..., C, L], steps [...] -> [..., C].
 
-    One-hot multiply-sum instead of ``take_along_axis``: a per-env dynamic
+    One-hot select-sum instead of ``take_along_axis``: a per-env dynamic
     index makes XLA:TPU scalarize the gather (one fragment per (env, channel)
     element — the same pathology as the update's 1-D gathers, BASELINE.md
     round-4), while the contraction is ONE fused VPU pass over the ring.
-    Bit-exact: the selector row has a single 1.0 and the ring is finite, so
-    ``1.0*v + sum(0.0*w) == v``."""
+    Bit-exact for any ring contents: ``where`` keeps non-selected slots
+    inert, so a NaN/Inf in a stale slot cannot poison the read the way a
+    multiply-sum would (0*NaN=NaN — ADVICE r4)."""
     L = buf.shape[-1]
     sel = (steps[..., None] == jnp.arange(L, dtype=steps.dtype))
-    return jnp.sum(buf * sel[..., None, :].astype(buf.dtype), axis=-1)
+    return jnp.sum(jnp.where(sel[..., None, :], buf, jnp.zeros((), buf.dtype)),
+                   axis=-1)
 
 
 def compute_torques(cfg: T1EnvCfg, params: EnvParams, torque_limits, default_dof_pos,

@@ -45,6 +45,14 @@ for seed in "${seeds[@]}"; do
     continue
   fi
   csv=$(ls -td logs/t1_dh_stand/*_"$run"/metrics.csv 2>/dev/null | head -1)
+  if [[ -z "$csv" || ! -f "$csv" ]]; then
+    # no metrics file (log dir naming changed / run died past the grep loop):
+    # don't leave an unreadable probe training forever (ADVICE r4)
+    echo "seed $seed: no metrics.csv found — killing pid $pid and skipping"
+    kill "$pid" 2>/dev/null
+    sleep 5
+    continue
+  fi
   airt=$(python - "$csv" "$PROBE_ITERS" <<'EOF'
 import csv, sys
 rows = [r for r in csv.DictReader(open(sys.argv[1]))]
