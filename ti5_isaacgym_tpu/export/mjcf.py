@@ -24,6 +24,27 @@ def _fmt(v) -> str:
     return " ".join(f"{float(x):.9g}" for x in np.atleast_1d(v))
 
 
+def _mat_to_quat(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> unit quaternion (w, x, y, z — MuJoCo order),
+    Shepperd's method (numerically stable for all rotations)."""
+    R = np.asarray(R, dtype=float)
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2.0
+        q = np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                      (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 0.0)) * 2.0
+        q = np.empty(4)
+        q[0] = (R[k, j] - R[j, k]) / s
+        q[1 + i] = 0.25 * s
+        q[1 + j] = (R[j, i] + R[i, j]) / s
+        q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q / np.linalg.norm(q)
+
+
 def spec_to_mjcf(
     spec: Dict,
     with_geoms: bool = True,
@@ -83,13 +104,18 @@ def spec_to_mjcf(
         b = bodies[i]
         j = b.get("joint")
         pos = j["origin_pos"] if j else [0, 0, 0]
-        lines.append(f'{indent}<body name={quoteattr(b["name"])} pos="{_fmt(pos)}">')
+        # URDF semantics: the child body frame = parent frame * joint origin
+        # (pos + rot); MJCF bodies take the same transform as pos + quat.
+        # T1's frames are all axis-aligned (origin_rot = I, no quat emitted);
+        # rotated frames (other robots) emit the equivalent quaternion.
+        quat_attr = ""
         if j:
-            # T1 joint frames are axis-aligned with the parent (origin_rot = I);
-            # a non-identity rot would need a quat attribute here.
             R = np.asarray(j["origin_rot"])
             if not np.allclose(R, np.eye(3), atol=1e-9):
-                raise NotImplementedError("rotated joint frames not emitted yet")
+                quat_attr = f' quat="{_fmt(_mat_to_quat(R))}"'
+        lines.append(f'{indent}<body name={quoteattr(b["name"])} '
+                     f'pos="{_fmt(pos)}"{quat_attr}>')
+        if j:
             lines.append(
                 f'{indent}  <joint name={quoteattr(j["name"])} type="hinge" '
                 f'axis="{_fmt(j["axis"])}" pos="0 0 0" '
