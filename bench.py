@@ -48,30 +48,27 @@ def main():
     jax.block_until_ready((carry, metrics))
     steps = iters * num_envs * runner.num_steps_per_env
 
-    def timed_window():
+    def timed_window(fetch_each=False):
         t0 = time.time()
         c, m = carry, None
         for _ in range(iters):
             c, m = it(c)
-        jax.block_until_ready((c, m))
+            if fetch_each:
+                float(jax.device_get(m["kl"]))
+        # a VALUE fetch, not block_until_ready: round-4/5 flakes showed
+        # block_until_ready transiently returning early through the remote
+        # tunnel, but a device_get cannot produce bytes before the compute
+        float(jax.device_get(m["kl"]))
         return steps / (time.time() - t0)
 
-    # One measured flake (round 4): immediately after the second-compile
-    # warmup, a chained window returned in ~5 ms — a transiently wrong
-    # block_until_ready through the remote-TPU tunnel.  An iteration of this
-    # program is >= 50 ms on any real backend, so rates above 20 M steps/s
-    # are physically impossible; retry with per-iteration blocking, which
-    # cannot under-measure.
+    # An iteration of this program is >= 50 ms on any real backend, so rates
+    # above 20 M steps/s are physically impossible; retry with per-iteration
+    # value fetches, which cannot under-measure.
     rate = timed_window()
     for _ in range(3):
         if rate < 20e6:
             break
-        t0 = time.time()
-        c = carry
-        for _ in range(iters):
-            c, m = it(c)
-            jax.block_until_ready(c.ts.params)
-        rate = steps / (time.time() - t0)
+        rate = timed_window(fetch_each=True)
     result = {
         "metric": "env_steps_per_s_per_chip",
         "value": round(rate, 1),

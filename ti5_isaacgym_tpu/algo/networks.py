@@ -161,6 +161,72 @@ class ActorCriticDH(nn.Module):
         return mean, std, self.critic(critic_obs)[..., 0], est
 
 
+# --- Feature-major (transposed) loss forward --------------------------------
+#
+# The PPO update's op-level profile (round 4/5, tools/profile_update.py)
+# shows ~10 ms/update of per-minibatch layout passes: the row-gathered
+# [B, 3102] minibatch is re-tiled into the B-minor layouts the conv/matmul
+# kernels want, and the backward pass transposes activations again for the
+# dW = x^T dy contractions.  Running the whole loss forward on [F, B]
+# activations (features on sublanes, batch on lanes) removes both: the
+# gather emits straight into the consumed layout and the backward operands
+# are already transposed.  These functions consume the SAME flax param
+# pytree as the module methods above (shape-driven, no new parameters) and
+# are numerically the flax forward up to dot accumulation order
+# (tests/test_algo.py pins the equivalence).
+
+
+def _mlp_T(p, xT, act=jax.nn.elu):
+    """Transposed MLP: xT [F, B] -> [out, B] with `act` on hidden layers."""
+    names = sorted((n for n in p if n.startswith("Dense_")),
+                   key=lambda s: int(s.split("_")[1]))
+    for i, name in enumerate(names):
+        W, b = p[name]["kernel"], p[name]["bias"]
+        xT = jax.lax.dot_general(W, xT, (((0,), (0,)), ((), ()))) + b[:, None]
+        if i < len(names) - 1:
+            xT = act(xT)
+    return xT
+
+
+def _cnn_T(p, obsT, frame_stack, frame_dim, strides):
+    """Transposed LongHistoryCNN: obsT [stack*dim, B] -> [out_dim, B]."""
+    x = obsT.reshape(frame_stack, frame_dim, -1)      # [C=66, L=47, B]
+    for name, s in zip(("Conv_0", "Conv_1"), strides):
+        W, b = p[name]["kernel"], p[name]["bias"]     # W [K, Cin, Cout]
+        K = W.shape[0]
+        L_out = (x.shape[1] - K) // s + 1
+        cols = [
+            # window [Cin, K, B] x W [K, Cin, Cout] -> [Cout, B]; the
+            # python loop keeps each window a fused slice of x instead of
+            # materializing an unfolded [L_out, Cin*K, B] copy
+            jax.lax.dot_general(W, x[:, pos * s: pos * s + K, :],
+                                (((0, 1), (1, 0)), ((), ())))
+            for pos in range(L_out)
+        ]
+        x = jax.nn.relu(jnp.stack(cols, axis=1) + b[:, None, None])
+    # flax flattens [N, L, C] position-major -> [L*C]; match that order
+    x = jnp.swapaxes(x, 0, 1).reshape(-1, x.shape[-1])
+    return _mlp_T(p, x)                               # Dense_0 -> Dense_1
+
+
+def loss_forward_T(net: "ActorCriticDH", params, obsT, critT):
+    """Feature-major equivalent of ``ActorCriticDH.loss_forward``:
+    obsT [3102, B], critT [219, B] -> (mean [B, na], std, value [B],
+    est_vel [B, 3])."""
+    p = params["params"]
+    shortT = obsT[-net.num_short_obs:, :]
+    estT = _mlp_T(p["state_estimator"], shortT)
+    embT = _cnn_T(p["long_history"], obsT, net.frame_stack,
+                  net.num_single_obs, net.strides)
+    a_inT = jnp.concatenate(
+        [shortT.astype(estT.dtype), estT, embT], axis=0)
+    meanT = _mlp_T(p["actor"], a_inT)
+    valueT = _mlp_T(p["critic"], critT)
+    mean = meanT.T
+    std = jnp.broadcast_to(p["std"], mean.shape)
+    return mean, std, valueT[0], estT.T
+
+
 # --- Gaussian head utilities (shared by PPO variants) ---
 
 

@@ -258,19 +258,29 @@ def gather_cells_supercell(stb: SuperTable, base_x, base_y,
 
     r = jnp.arange(stb.PG, dtype=jnp.int32)
     iuT, ivT = iu.T, iv.T                                       # [n, K]
-    # one MXU contraction extracts rows i0 (first K) and i0+1 (second K)
+    # one contraction extracts rows i0 (first K) and i0+1 (second K).
+    # bf16 intermediate: the [n, 2K, PG] buffer pads PG -> 128 lanes, so its
+    # bytes dominate this chain (round-5 profile: the f32 version's fusions
+    # cost ~1.27 ms/policy step at 8192 envs; bf16 cuts the padded traffic
+    # in half, measured -22 % on tools/exp_supercell_extract.py).  Exact:
+    # each one-hot row has a single nonzero, so the "sum" copies a stored
+    # bf16 height unchanged; the final f32 accumulation is over one term.
     sel_r = jnp.concatenate([
         (iuT[..., None] == r), (iuT[..., None] == (r - 1))],
         axis=1).astype(jnp.bfloat16)                            # [n, 2K, PG]
     rows = jnp.einsum("nkr,nrc->nkc", sel_r, patch,
-                      preferred_element_type=jnp.float32)       # [n, 2K, PG]
+                      preferred_element_type=jnp.bfloat16)      # [n, 2K, PG]
     rows0, rows1 = rows[:, :K], rows[:, K:]
-    sel_c0 = (ivT[..., None] == r).astype(jnp.float32)
-    sel_c1 = (ivT[..., None] == (r - 1)).astype(jnp.float32)
-    h00 = jnp.sum(rows0 * sel_c0, -1).T                         # [K, n]
-    h01 = jnp.sum(rows0 * sel_c1, -1).T
-    h10 = jnp.sum(rows1 * sel_c0, -1).T
-    h11 = jnp.sum(rows1 * sel_c1, -1).T
+    sel_c0 = (ivT[..., None] == r).astype(jnp.bfloat16)
+    sel_c1 = (ivT[..., None] == (r - 1)).astype(jnp.bfloat16)
+
+    def _pick(rows_, sel_):
+        return jnp.sum((rows_ * sel_).astype(jnp.float32), -1).T
+
+    h00 = _pick(rows0, sel_c0)                                  # [K, n]
+    h01 = _pick(rows0, sel_c1)
+    h10 = _pick(rows1, sel_c0)
+    h11 = _pick(rows1, sel_c1)
 
     shape = (K,) + batch
     x0 = (ou[None] + iu).astype(jnp.float32) * stb.hscale - stb.offset

@@ -285,11 +285,77 @@ def main():
                 vls.append(vl)
         return ts, {"value_loss": jnp.stack(vls).mean()}
 
+    # --- v7: v6 dataflow + feature-major loss forward (networks.
+    # loss_forward_T): the minibatch gather emits a transposed [F, B] copy
+    # consumed natively by the transposed dense/conv math, so neither the
+    # forward re-tiling into B-minor layouts nor the backward's x^T
+    # transposes exist ------------------------------------------------------
+    def v7(ts, traj, returns, advantages, key):
+        flat = flatten_batch(traj)._replace(rewards=None, dones=None)
+        total = T * n
+        fidx = minibatch_indices(key, total, M).reshape(-1)
+        B = total // M
+        packed = jnp.concatenate([
+            flat.actions, flat.mu, flat.sigma,
+            flat.values[:, None], flat.log_probs[:, None],
+            returns.reshape(-1, 1), advantages.reshape(-1, 1)], axis=1)
+        g_small = packed[fidx]
+        na = flat.actions.shape[1]
+
+        def loss_T(params, obsT, critT, actions, values, logp_old, ret, adv):
+            mean, std, value, est = nets.loss_forward_T(
+                alg.network, params, obsT, critT)
+            logp = nets.log_prob(mean, std, actions)
+            ent = nets.entropy(std)
+            ratio = jnp.exp(logp - logp_old)
+            surr = -adv * ratio
+            surr_c = -adv * jnp.clip(ratio, 1 - cfgp.clip_param,
+                                     1 + cfgp.clip_param)
+            s_loss = jnp.mean(jnp.maximum(surr, surr_c))
+            v_clip = values + jnp.clip(value - values, -cfgp.clip_param,
+                                       cfgp.clip_param)
+            v_loss = jnp.maximum(jnp.square(value - ret),
+                                 jnp.square(v_clip - ret)).mean()
+            ref_vel = jax.lax.dynamic_slice_in_dim(
+                critT, cfgp.lin_vel_idx, 3, axis=0).T
+            e_loss = jnp.mean(jnp.square(est - ref_vel.astype(est.dtype)))
+            loss = (s_loss + cfgp.value_loss_coef * v_loss
+                    - cfgp.entropy_coef * ent.mean() + e_loss)
+            return loss, (v_loss, mean, std)
+
+        vls = []
+        for _ in range(E):
+            for b in range(M):
+                sl = lambda x: jax.lax.slice_in_dim(x, b * B, (b + 1) * B, axis=0)
+                sm = sl(g_small)
+                bidx = jax.lax.slice_in_dim(fidx, b * B, (b + 1) * B, axis=0)
+                obsT = flat.obs[bidx].T
+                critT = flat.critic_obs[bidx].T
+                (loss, aux), grads = jax.value_and_grad(loss_T, has_aux=True)(
+                    ts.params, obsT, critT, sm[:, :na], sm[:, 3 * na],
+                    sm[:, 3 * na + 1], sm[:, 3 * na + 2], sm[:, 3 * na + 3])
+                v_loss, mu_new, sigma_new = aux
+                lr = ts.lr
+                kl_mean = jnp.mean(nets.gaussian_kl(
+                    sm[:, na:2 * na], sm[:, 2 * na:3 * na], mu_new, sigma_new))
+                lr = jnp.where(kl_mean > cfgp.desired_kl * 2.0,
+                               jnp.maximum(cfgp.min_lr, lr / 1.5), lr)
+                lr = jnp.where((kl_mean < cfgp.desired_kl / 2.0) & (kl_mean > 0.0),
+                               jnp.minimum(cfgp.max_lr, lr * 1.5), lr)
+                updates, opt_state = alg.optimizer.update(grads, ts.opt_state,
+                                                          ts.params)
+                updates = jax.tree.map(lambda u: -lr * u, updates)
+                params = optax.apply_updates(ts.params, updates)
+                ts = TrainState(params=params, opt_state=opt_state, lr=lr,
+                                update_count=ts.update_count + 1)
+                vls.append(v_loss)
+        return ts, {"value_loss": jnp.stack(vls).mean()}
+
     import os
     prof = os.environ.get("EXP_PROFILE")
     if prof:
         import tempfile
-        fn = jax.jit({"v0": v0, "v1": v1, "v2": v2, "v3": v3, "v1p": v1p, "v5": v5, "v1s": v1s, "v6": v6}[prof])
+        fn = jax.jit({"v0": v0, "v1": v1, "v2": v2, "v3": v3, "v1p": v1p, "v5": v5, "v1s": v1s, "v6": v6, "v7": v7}[prof])
         for _ in range(2):
             out = fn(ts0, traj, returns, advantages, key)
         jax.block_until_ready(jax.tree.leaves(out)[0])
@@ -302,11 +368,11 @@ def main():
         return
 
     ref_params = None
-    for name in ["v0", "v1", "v2", "v3", "v1p", "v5", "v1s", "v6"]:
+    for name in ["v0", "v1", "v2", "v3", "v1p", "v5", "v1s", "v6", "v7"]:
         if name not in which:
             continue
         fn = jax.jit(locals()[name] if name in locals() else None) if False else jax.jit(
-            {"v0": v0, "v1": v1, "v2": v2, "v3": v3, "v1p": v1p, "v5": v5, "v1s": v1s, "v6": v6}[name])
+            {"v0": v0, "v1": v1, "v2": v2, "v3": v3, "v1p": v1p, "v5": v5, "v1s": v1s, "v6": v6, "v7": v7}[name])
         try:
             t = timeit(fn, ts0, traj, returns, advantages, key)
         except Exception as e:
