@@ -113,6 +113,10 @@ def play(args):
                                 "t1_model.json")
             mj_model = mujoco.MjModel.from_xml_string(spec_file_to_mjcf(spec))
             mj_data = mujoco.MjData(mj_model)
+            import json as _json
+
+            spec_body_names = [b["name"] for b in
+                               _json.load(open(spec))["bodies"]]
             viewer = mujoco.viewer.launch_passive(mj_model, mj_data)
         except Exception as e:
             print(f"[play] live viewer unavailable: {e}")
@@ -170,6 +174,16 @@ def play(args):
             import mujoco as _mj
 
             _mj.mj_forward(mj_model, mj_data)
+            try:
+                # debug-viz parity (reference legged_robot.py:1521-1533):
+                # height-scan spheres + contact-force arrows from the
+                # ENGINE state, anchored at the replayed MuJoCo kinematics
+                from ..utils.debug_viz import update_overlay
+
+                update_overlay(viewer, mj_model, mj_data, env, state,
+                               robot=robot, spec_body_names=spec_body_names)
+            except Exception:
+                pass  # overlay is best-effort; never kill the replay
             viewer.sync()
         if i % 200 == 0:
             print(f"step {i}: base z {float(state.phys.base_pos[robot, 2]):.3f} "

@@ -351,11 +351,41 @@ def main():
                 vls.append(v_loss)
         return ts, {"value_loss": jnp.stack(vls).mean()}
 
+    # --- v6s: v6 + ascending order WITHIN each minibatch chunk (same
+    # partition; a minibatch is consumed as a mean, so within-chunk order
+    # only reorders fp accumulation — the sorted gather reads 4 interleaved
+    # sequential streams instead of random rows) ----------------------------
+    def v6s(ts, traj, returns, advantages, key):
+        flat = flatten_batch(traj)._replace(rewards=None, dones=None)
+        total = T * n
+        fidx = jnp.sort(minibatch_indices(key, total, M), axis=1).reshape(-1)
+        B = total // M
+        packed = jnp.concatenate([
+            flat.actions, flat.mu, flat.sigma,
+            flat.values[:, None], flat.log_probs[:, None],
+            returns.reshape(-1, 1), advantages.reshape(-1, 1)], axis=1)
+        g_small = packed[fidx]
+        na = flat.actions.shape[1]
+        vls = []
+        for _ in range(E):
+            for b in range(M):
+                sl = lambda x: jax.lax.slice_in_dim(x, b * B, (b + 1) * B, axis=0)
+                sm = sl(g_small)
+                bidx = jax.lax.slice_in_dim(fidx, b * B, (b + 1) * B, axis=0)
+                mb = Transition(
+                    obs=flat.obs[bidx], critic_obs=flat.critic_obs[bidx],
+                    actions=sm[:, :na], mu=sm[:, na:2 * na],
+                    sigma=sm[:, 2 * na:3 * na], values=sm[:, 3 * na],
+                    log_probs=sm[:, 3 * na + 1], rewards=None, dones=None)
+                ts, vl = mb_step(ts, mb, sm[:, 3 * na + 2], sm[:, 3 * na + 3])
+                vls.append(vl)
+        return ts, {"value_loss": jnp.stack(vls).mean()}
+
     import os
     prof = os.environ.get("EXP_PROFILE")
     if prof:
         import tempfile
-        fn = jax.jit({"v0": v0, "v1": v1, "v2": v2, "v3": v3, "v1p": v1p, "v5": v5, "v1s": v1s, "v6": v6, "v7": v7}[prof])
+        fn = jax.jit({"v0": v0, "v1": v1, "v2": v2, "v3": v3, "v1p": v1p, "v5": v5, "v1s": v1s, "v6": v6, "v6s": v6s, "v7": v7}[prof])
         for _ in range(2):
             out = fn(ts0, traj, returns, advantages, key)
         jax.block_until_ready(jax.tree.leaves(out)[0])
@@ -368,11 +398,11 @@ def main():
         return
 
     ref_params = None
-    for name in ["v0", "v1", "v2", "v3", "v1p", "v5", "v1s", "v6", "v7"]:
+    for name in ["v0", "v1", "v2", "v3", "v1p", "v5", "v1s", "v6", "v6s", "v7"]:
         if name not in which:
             continue
         fn = jax.jit(locals()[name] if name in locals() else None) if False else jax.jit(
-            {"v0": v0, "v1": v1, "v2": v2, "v3": v3, "v1p": v1p, "v5": v5, "v1s": v1s, "v6": v6, "v7": v7}[name])
+            {"v0": v0, "v1": v1, "v2": v2, "v3": v3, "v1p": v1p, "v5": v5, "v1s": v1s, "v6": v6, "v6s": v6s, "v7": v7}[name])
         try:
             t = timeit(fn, ts0, traj, returns, advantages, key)
         except Exception as e:
