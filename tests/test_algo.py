@@ -196,3 +196,21 @@ def test_update_dataflow_matches_reference_semantics():
     for a, b in zip(jax.tree.leaves(ts_ref.params), jax.tree.leaves(ts_new.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(float(ts_ref.lr), float(ts_new.lr), rtol=1e-6)
+
+
+def test_feature_major_loss_forward_matches_flax():
+    """networks.loss_forward_T (the measured-and-rejected perf variant kept
+    for tools/exp_update_variants.py) must track the flax loss_forward —
+    pinned so the transposed math cannot rot."""
+    net = nets.ActorCriticDH()
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 3102)),
+                      jnp.zeros((1, 219)))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    obs = (jax.random.normal(k1, (32, 3102)) * 0.3).astype(jnp.bfloat16)
+    crit = (jax.random.normal(k2, (32, 219)) * 0.3).astype(jnp.bfloat16)
+    m0, s0, v0, e0 = net.apply(params, obs, crit, method="loss_forward")
+    m1, s1, v1, e1 = nets.loss_forward_T(net, params, obs.T, crit.T)
+    for a, b in ((m0, m1), (s0, s1), (v0, v1), (e0, e1)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=5e-6, rtol=1e-4)
