@@ -135,13 +135,20 @@ class T1DHStandEnv:
         nominal = dyn.nominal_params(self.model).replace(
             armature=jnp.asarray([(a + b) / 2 for a, b in cfg.domain_rand.joint_armature_ranges],
                                  jnp.float32))
+        # host-numpy probe state: multi-process-safe closure constants (a
+        # jnp.zeros output is a global array under multi-process SPMD)
         probe_state = PhysicsState(
-            base_pos=jnp.asarray([0.0, 0.0, 0.95]),
-            base_quat=jnp.asarray([1.0, 0, 0, 0]),
-            base_vel=jnp.zeros(6), qpos=self.default_dof_pos,
-            qvel=jnp.zeros(self.num_actions),
-            cp_anchor=jnp.zeros((self.model.cp_pos.shape[0], 3)))
-        cp_meff = probe_contact_masses(self.model, nominal, probe_state)
+            base_pos=np.asarray([0.0, 0.0, 0.95], np.float32),
+            base_quat=np.asarray([1.0, 0, 0, 0], np.float32),
+            base_vel=np.zeros(6, np.float32),
+            qpos=np.asarray(self.default_dof_pos),
+            qvel=np.zeros(self.num_actions, np.float32),
+            cp_anchor=np.zeros((self.model.cp_pos.shape[0], 3), np.float32))
+        # host copy: under multi-process SPMD a jit output is a GLOBAL array
+        # spanning non-addressable devices, which cannot be closed over by
+        # the later step traces; as host numpy it embeds as a plain constant
+        cp_meff = np.asarray(
+            probe_contact_masses(self.model, nominal, probe_state))
         # The implicit-rate contact solve treats each point against its OWN
         # apparent mass, but all points of one body push that body
         # simultaneously: a flat foot landing on P points feels P times the

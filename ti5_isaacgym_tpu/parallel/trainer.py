@@ -33,12 +33,36 @@ AXIS = "data"
 
 def distributed_init(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
                      process_id: Optional[int] = None):
-    """Multi-host bring-up (single-program multi-host JAX)."""
+    """Multi-host bring-up (single-program multi-host JAX).
+
+    Must run before ANY backend-initializing jax call.  On the CPU backend
+    cross-process collectives need a transport implementation; gloo is the
+    one baked into jaxlib, so it is selected when the process is CPU-pinned
+    (the multi-host CPU test path; TPU pods ignore this knob and ride
+    ICI/DCN natively)."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # pragma: no cover - older jaxlib without gloo
+            pass
     kwargs = {}
     if coordinator is not None:
         kwargs = dict(coordinator_address=coordinator, num_processes=num_processes,
                       process_id=process_id)
     jax.distributed.initialize(**kwargs)
+
+
+def coordination_barrier(name: str, timeout_s: int = 1800):
+    """Block until every process reaches this point (coordination-service
+    barrier — synchronous and compile-skew-proof, unlike a collective whose
+    async dispatch returns before the peers have arrived)."""
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_s * 1000)
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -98,6 +122,12 @@ class ShardedRunner:
         # tree disables the checker anymore (VERDICT r4 item 6).
         self.check_vma = check_vma
         self.n_shards = mesh.devices.size
+        # multi-process-ness is a property of THIS mesh, never of
+        # jax.process_count(): the default backend can be a different
+        # platform entirely (the axon TPU plugin registers itself as default
+        # even when the job runs on the multi-process CPU backend)
+        self.multi_process = len(
+            {d.process_index for d in mesh.devices.ravel()}) > 1
         runner.alg.axis_name = AXIS          # turns on psum in the update
         runner.env.axis_name = AXIS          # turns on psum in env curricula
         # megakernel output-vma declarations only when the checker is on
@@ -151,6 +181,15 @@ class ShardedRunner:
         from jax.sharding import NamedSharding
 
         specs = carry_specs(carry, self.runner.env.num_envs)
+        if self.multi_process:
+            # multi-host: go through HOST values — every process computed the
+            # same deterministic carry (same seed), so each can place its own
+            # addressable shards without any cross-process transfer; handing
+            # a process-local device array straight to the global program
+            # would instead trigger an implicit reshard whose gloo transfer
+            # deadlocks against peers that haven't reached execution yet
+            carry = jax.tree.map(lambda x: np.asarray(jax.device_get(x)),
+                                 carry)
         return jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
             carry, specs)
@@ -171,5 +210,35 @@ class ShardedRunner:
             carry = self.init_carry()
         if self._iter_fn is None:
             self.compile_for(carry)
+        if self.multi_process:
+            # Multi-host: every cross-process step (global device_put, first
+            # collective execution) initializes gloo/ICI communicators whose
+            # KV-store rendezvous times out after 30 s — far less than the
+            # compile-time skew between processes.  So: barrier, THEN lift
+            # the (deterministic, process-identical) carry to its global
+            # sharding, AOT-compile (pure, no comms), barrier again, THEN
+            # execute — every rendezvous happens with the processes aligned.
+            import os
+            import time as _time
+
+            from jax._src import distributed as _dist
+
+            _pid = getattr(_dist.global_state, "process_id", 0)
+
+            def _log(msg):
+                if os.environ.get("TI5_VERBOSE", "0") == "1":
+                    print(f"[multihost p{_pid}] {msg} "
+                          f"(t={_time.time():.1f})", flush=True)
+
+            _log("waiting at preplace barrier")
+            coordination_barrier("ti5_preplace")
+            _log("placing carry on the global mesh")
+            carry = self.shard_carry(carry)
+            jax.block_until_ready(carry)
+            _log("AOT-compiling the sharded iteration")
+            self._iter_fn = self._iter_fn.lower(carry).compile()
+            _log("waiting at postcompile barrier")
+            coordination_barrier("ti5_postcompile")
+            _log("entering the training loop")
         r._iter_fn = self._iter_fn
         return r.learn(num_iterations, carry=carry, log_every=log_every)

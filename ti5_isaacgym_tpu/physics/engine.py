@@ -176,10 +176,14 @@ def probe_contact_masses(
     the implicit-rate contact stays stable for the softest direction.
     Called once at env construction — not in the hot path.
     """
+    import numpy as np
+
     ncp = model.cp_pos.shape[0]
     ndir = len(directions)
-    dirs = jnp.asarray(directions, jnp.float32)                      # (ndir, 3)
-    zero_tau = jnp.zeros((model.num_dof,), jnp.float32)
+    # host constants: under multi-process SPMD a jnp creation op yields a
+    # GLOBAL array that cannot be closed over by this jit
+    dirs = np.asarray(directions, np.float32)                        # (ndir, 3)
+    zero_tau = np.zeros((model.num_dof,), np.float32)
 
     @jax.jit
     def _probe() -> jnp.ndarray:

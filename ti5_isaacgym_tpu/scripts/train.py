@@ -5,22 +5,26 @@
 from __future__ import annotations
 
 from ..utils.helpers import get_args, set_seed
-from ..utils.registry import task_registry
-from .record_config import record_config
 
 
 def train(args):
     import os
     import time
 
-    from ..utils.jax_setup import setup_jax
-
     os.environ.setdefault("TI5_VERBOSE", "1")  # bring-up prints on for the CLI
     if getattr(args, "coordinator", None) is not None:
-        # multi-host single-program bring-up; must precede first backend use
+        # Multi-host bring-up MUST precede anything that initializes the XLA
+        # backend — which includes importing modules with jax computations at
+        # module scope (the networks module's Gaussian constants), so the
+        # registry import stays below this call.
         from ..parallel import distributed_init
 
         distributed_init(args.coordinator, args.num_processes, args.process_id)
+
+    from ..utils.jax_setup import setup_jax
+    from ..utils.registry import task_registry
+    from .record_config import record_config
+
     setup_jax()
     t0 = time.time()
     print(f"[train] building env/runner (t=0.0s)", flush=True)
@@ -34,7 +38,12 @@ def train(args):
         # multi-chip DP: envs sharded over the mesh, gradients psum'd
         # (SURVEY §2.3/§5.8 — the reference's dead --horovod, done properly)
         from ..parallel import ShardedRunner, make_mesh
+        from ..parallel.trainer import coordination_barrier
 
+        # align the processes after their (independently-cached, hence
+        # skewed) env-build compiles before any collective work; no-op
+        # when the job is single-process
+        coordination_barrier("ti5_mesh_bringup")
         resume_path = getattr(runner, "_resume_path", None)
         runner = ShardedRunner(runner, make_mesh(args.n_devices))
     else:
