@@ -246,3 +246,55 @@ def test_gae_advantage_normalization_shard_invariant():
     np.testing.assert_allclose(np.asarray(ret1), np.asarray(ret8), atol=1e-6)
     np.testing.assert_allclose(np.asarray(adv1), np.asarray(adv8),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_multihost_cli_training_two_process(tmp_path):
+    """The FULL production path: two OS processes run
+    ``scripts.train --coordinator ...`` against a shared 4-device CPU mesh
+    and must complete sharded training iterations with identical psum'd
+    metrics on both ranks (README "Multi-host" recipe; the update-level
+    equivalence is pinned by test_multihost_two_process_update above)."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env.update(TI5_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+               JAX_NUM_CPU_DEVICES="2")
+    logs = []
+    procs = []
+    for i in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "ti5_isaacgym_tpu.scripts.train",
+             "--task", "t1_flat", "--num_envs", "16", "--max_iterations", "2",
+             "--n_devices", "4", "--log_every", "1",
+             "--log_root", str(tmp_path / f"logs{i}"),
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num_processes", "2", "--process_id", str(i)],
+            cwd=root, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    for p in procs:
+        out = p.communicate(timeout=1500)[0].decode()
+        logs.append(out)
+        assert p.returncode == 0, f"rank failed:\n{out[-4000:]}"
+
+    def rows(log):
+        return re.findall(r"^it\s+\d+ \|.*$", log, re.M)
+
+    r0, r1 = rows(logs[0]), rows(logs[1])
+    # lead-only logging: rank 0 prints the metric rows, rank 1 stays quiet
+    assert len(r0) == 2 and len(r1) == 0, (r0, r1)
+    assert all("vloss" in r for r in r0)
+    # lead-only reduced checkpoint was written into rank 0's log root
+    import glob
+
+    assert glob.glob(str(tmp_path / "logs0" / "**" / "model_2"),
+                     recursive=True), "lead checkpoint missing"

@@ -95,6 +95,13 @@ class OnPolicyRunner:
         self.num_steps_per_env = train_cfg.runner.num_steps_per_env
         self.seed = train_cfg.seed if seed is None else seed
         self.iteration_count = 0
+        # multi-host: only rank 0 writes console/CSV/TensorBoard (the
+        # checkpoint save stays collective — every rank contributes its
+        # shards); single-process runs have no distributed client and lead
+        from jax._src import distributed as _dist
+
+        self.is_lead = getattr(_dist.global_state, "process_id", None) in (
+            None, 0)
         # donate the carry (opt-in): the iteration is carry -> carry, so
         # donation lets XLA alias the large env-state/history buffers in
         # place instead of double-buffering them in HBM.  Off by default
@@ -301,10 +308,10 @@ class OnPolicyRunner:
             mean_ep_rew = win_rew / max(win_count, 1)
             mean_ep_len = win_len / max(win_count, 1)
             fps = samples_per_iter / dt_iter
-            if self.log_dir:
+            if self.log_dir and self.is_lead:
                 self._log_csv(metrics, mean_ep_rew, mean_ep_len, fps, it=git)
                 self._log_tb(metrics, mean_ep_rew, mean_ep_len, fps, it=git)
-            if git % log_every == 0 or git == final_it:
+            if self.is_lead and (git % log_every == 0 or git == final_it):
                 print(f"it {git:5d} | fps {fps:9.0f} | "
                       f"rew/step {float(metrics['mean_step_reward']):7.4f} | "
                       f"ep_rew {mean_ep_rew:8.2f} | ep_len {mean_ep_len:7.1f} | "
@@ -403,6 +410,26 @@ class OnPolicyRunner:
 
         path = path or os.path.join(self.log_dir, f"model_{self.iteration_count}")
         path = os.path.abspath(path)
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            # Multi-host: the env state is SHARDED across processes and
+            # orbax's ocdbt per-process merge rejects the mixed payload.
+            # Save the replicated learning state from the lead rank only —
+            # the same scope the reference checkpoints (it never saves env
+            # state, dh_on_policy_runner.py:293-308); a resume grafts fresh
+            # env state via tools/resume_migrate.py.
+            if not self.is_lead:
+                return path
+            host = lambda x: np.asarray(
+                x.addressable_data(0) if hasattr(x, "addressable_data") else x)
+            payload = jax.tree.map(host, {
+                "params": carry.ts.params, "opt_state": carry.ts.opt_state,
+                "lr": carry.ts.lr,
+                "iteration": np.asarray(self.iteration_count)})
+            ocp.PyTreeCheckpointer().save(path, payload, force=True)
+            self._prune_checkpoints(keep_last, milestone_every)
+            return path
         ckptr = ocp.StandardCheckpointer()
         payload = {
             "params": carry.ts.params,

@@ -55,9 +55,19 @@ class TaskRegistry:
         env_cfg = getattr(env, "cfg", env_cfg_default)
         if log_root is None:
             log_root = os.path.join(LEGGED_GYM_ROOT, "logs", train_cfg.runner.experiment_name)
+        stamp = datetime.now().strftime("%b%d_%H-%M-%S")
+        # multi-host: every rank must agree on the run directory (orbax
+        # checkpoint saves are collective over a SHARED path) — rank 0's
+        # wall-clock stamp is published through the coordination KV store
+        from jax._src import distributed as _dist
+
+        _client = getattr(_dist.global_state, "client", None)
+        if _client is not None:
+            if _dist.global_state.process_id == 0:
+                _client.key_value_set("ti5_run_stamp", stamp)
+            stamp = _client.blocking_key_value_get("ti5_run_stamp", 60_000)
         log_dir = os.path.join(
-            log_root,
-            datetime.now().strftime("%b%d_%H-%M-%S") + "_" + train_cfg.runner.run_name)
+            log_root, stamp + "_" + train_cfg.runner.run_name)
         runner = OnPolicyRunner(env, env_cfg, train_cfg, log_dir=log_dir)
         if train_cfg.runner.resume:
             path = resolve_load_path(log_root, train_cfg.runner.load_run,
