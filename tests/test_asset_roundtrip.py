@@ -125,3 +125,27 @@ def test_rotated_joint_frame_spec():
     # world axis of the joint must be [0, -1, 0] at q=0
     jid = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_JOINT, "j1")
     np.testing.assert_allclose(data.xaxis[jid], [0.0, -1.0, 0.0], atol=1e-9)
+
+
+def test_k1_spec_urdf_roundtrip():
+    """The inverse emitter is robot-agnostic: the second registered robot's
+    spec (K1, ``configs/k1_dh_stand.py``) must round-trip the same way."""
+    spec0 = json.load(open(os.path.join(
+        ROOT, "ti5_isaacgym_tpu", "resources", "k1_model.json")))
+    spec1 = _roundtrip(spec0)
+    assert len(spec0["bodies"]) == len(spec1["bodies"])
+    for b0, b1 in zip(spec0["bodies"], spec1["bodies"]):
+        assert (b0["name"], b0["parent"]) == (b1["name"], b1["parent"])
+        np.testing.assert_allclose(b0["mass"], b1["mass"], atol=1e-9)
+        np.testing.assert_allclose(b0["inertia"], b1["inertia"], atol=1e-8)
+        j0, j1 = b0.get("joint"), b1.get("joint")
+        assert (j0 is None) == (j1 is None)
+        if j0:
+            np.testing.assert_allclose(j0["origin_pos"], j1["origin_pos"],
+                                       atol=1e-9)
+            np.testing.assert_allclose(j0["origin_rot"], j1["origin_rot"],
+                                       atol=1e-8)
+            np.testing.assert_allclose(j0["axis"], j1["axis"], atol=1e-9)
+    cp = lambda s: sorted((c["body"], *np.round(c["pos"], 6))
+                          for c in s["collision_points"])
+    assert cp(spec0) == cp(spec1)
