@@ -31,6 +31,12 @@ def main():
 
     from ti5_isaacgym_tpu.utils.jax_setup import setup_jax
 
+    # donated carry: XLA aliases the large env-state/history buffers in
+    # place (round-5: 1,253k -> 1,283k env-steps/s @8192; 60-iteration live
+    # training validated).  Production entry points only — tests/tools may
+    # legitimately reuse a carry after passing it to the iteration, which
+    # donation invalidates.
+    os.environ.setdefault("TI5_DONATE_CARRY", "1")
     setup_jax()
 
     from ti5_isaacgym_tpu.algo.runner import OnPolicyRunner
@@ -48,9 +54,9 @@ def main():
     jax.block_until_ready((carry, metrics))
     steps = iters * num_envs * runner.num_steps_per_env
 
-    def timed_window(fetch_each=False):
+    def timed_window(c, fetch_each=False):
         t0 = time.time()
-        c, m = carry, None
+        m = None
         for _ in range(iters):
             c, m = it(c)
             if fetch_each:
@@ -59,16 +65,17 @@ def main():
         # block_until_ready transiently returning early through the remote
         # tunnel, but a device_get cannot produce bytes before the compute
         float(jax.device_get(m["kl"]))
-        return steps / (time.time() - t0)
+        return steps / (time.time() - t0), c
 
     # An iteration of this program is >= 50 ms on any real backend, so rates
     # above 20 M steps/s are physically impossible; retry with per-iteration
-    # value fetches, which cannot under-measure.
-    rate = timed_window()
+    # value fetches, which cannot under-measure.  Each window continues from
+    # the last carry — the donated input buffers are consumed by the call.
+    rate, carry = timed_window(carry)
     for _ in range(3):
         if rate < 20e6:
             break
-        rate = timed_window(fetch_each=True)
+        rate, carry = timed_window(carry, fetch_each=True)
     result = {
         "metric": "env_steps_per_s_per_chip",
         "value": round(rate, 1),
