@@ -19,6 +19,15 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+# Standalone-subprocess bootstrap: sys.path[0] is tests/, not the repo root,
+# so the package import fails unless it happens to be pip-installed.  Pin the
+# repo root explicitly — the worker must run from any environment the parent
+# test runs from.
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 AXIS = "data"
 

@@ -638,12 +638,15 @@ class T1DHStandEnv:
         def lead(x):  # [8, M, C] -> [C, 8, M]
             return jnp.moveaxis(x, -1, 0)
 
+        # one concatenate in [8, M, C] then ONE transpose per row group — the
+        # per-field lead() form lowered to ~36 separate copy ops per policy
+        # step (round-5 op census: copies are the top rollout cost)
         dyn = params2.dynamics
-        state_rows = jnp.concatenate([
-            lead(phys2.base_pos), lead(phys2.base_quat), lead(phys2.base_vel),
-            lead(phys2.qpos), lead(phys2.qvel)], axis=0)
-        anchor_rows = jnp.concatenate(
-            [jnp.moveaxis(phys2.cp_anchor[..., c], -1, 0) for c in range(3)], axis=0)
+        state_rows = lead(jnp.concatenate([
+            phys2.base_pos, phys2.base_quat, phys2.base_vel,
+            phys2.qpos, phys2.qvel], axis=-1))
+        anchor_rows = jnp.transpose(
+            phys2.cp_anchor, (3, 2, 0, 1)).reshape(3 * ncp, rows8, m)
         cell_rows = jnp.concatenate(
             [cells2.x0, cells2.y0, cells2.h00, cells2.h10, cells2.h01,
              cells2.h11], axis=0)
@@ -651,18 +654,18 @@ class T1DHStandEnv:
         # friction | restitution
         com = dyn.com                                   # [8,M,nb,3]
         inert = dyn.inertia                             # [8,M,nb,3,3]
-        dyn_rows = jnp.concatenate([
-            lead(dyn.mass),
-            lead(com.reshape(com.shape[:-2] + (3 * nb,))),
-            lead(inert.reshape(inert.shape[:-3] + (9 * nb,))),
-            lead(dyn.armature),
-            params2.friction[None],
-            params2.restitution[None],
-        ], axis=0)
-        ctrl_rows = jnp.concatenate([
-            lead(params2.p_gains), lead(params2.d_gains),
-            lead(params2.motor_offsets), lead(params2.joint_coulomb),
-            lead(params2.joint_viscous)], axis=0)
+        dyn_rows = lead(jnp.concatenate([
+            dyn.mass,
+            com.reshape(com.shape[:-2] + (3 * nb,)),
+            inert.reshape(inert.shape[:-3] + (9 * nb,)),
+            dyn.armature,
+            params2.friction[..., None],
+            params2.restitution[..., None],
+        ], axis=-1))
+        ctrl_rows = lead(jnp.concatenate([
+            params2.p_gains, params2.d_gains,
+            params2.motor_offsets, params2.joint_coulomb,
+            params2.joint_viscous], axis=-1))
 
         # --- action lag resolved outside: within one policy step the pushed
         # action is constant (reference pushes a_t then reads, 1 kHz) ---
@@ -683,12 +686,12 @@ class T1DHStandEnv:
             lag_ks = [
                 jnp.where((lag2 <= k)[..., None], a_scaled, prev[..., k, :])
                 for k in range(dec)]
-            lagged_rows = jnp.concatenate([lead(x) for x in lag_ks], axis=0)
+            lagged_rows = lead(jnp.concatenate(lag_ks, axis=-1))
             new_lagb = jnp.concatenate([
                 jnp.repeat(a_scaled[..., None], min(dec, L), axis=-1),
                 lagb2[..., :max(L - dec, 0)]], axis=-1)
         else:
-            lagged_rows = jnp.concatenate([lead(a_scaled)] * dec, axis=0)
+            lagged_rows = lead(jnp.concatenate([a_scaled] * dec, axis=-1))
             new_lagb = lagb2
 
         if dr.randomize_torque:
@@ -697,7 +700,7 @@ class T1DHStandEnv:
                 k_sub, (dec * nd, rows8, m), minval=lo, maxval=hi)
         else:
             noise_rows = jnp.ones((dec * nd, rows8, m), jnp.float32)
-        extw_rows = jnp.concatenate([lead(ext_f2), lead(ext_t2)], axis=0)
+        extw_rows = lead(jnp.concatenate([ext_f2, ext_t2], axis=-1))
 
         st, an, fo, tq, ds, iss, cx = run_decimation(
             mc, self.heightfield.hscale, self.copts, self.sopts, dec,
@@ -713,12 +716,15 @@ class T1DHStandEnv:
         def unlead(x):  # [C, 8, M] -> [8, M, C]
             return jnp.moveaxis(x, 0, -1)
 
+        # ONE transpose of the packed state, then minor-axis slices (the
+        # per-field unlead() form was 5 separate copies)
+        stT = unlead(st)                                # [8, M, 13+2nd]
         phys_out = phys2.replace(
-            base_pos=unlead(st[0:3]), base_quat=unlead(st[3:7]),
-            base_vel=unlead(st[7:13]), qpos=unlead(st[13:13 + nd]),
-            qvel=unlead(st[13 + nd:13 + 2 * nd]),
-            cp_anchor=jnp.stack(
-                [unlead(an[c * ncp:(c + 1) * ncp]) for c in range(3)], axis=-1))
+            base_pos=stT[..., 0:3], base_quat=stT[..., 3:7],
+            base_vel=stT[..., 7:13], qpos=stT[..., 13:13 + nd],
+            qvel=stT[..., 13 + nd:13 + 2 * nd],
+            cp_anchor=jnp.transpose(
+                an.reshape(3, ncp, rows8, m), (2, 3, 1, 0)))
         cforces = unlead(fo).reshape(fo.shape[1:] + (nb, 3))
         torques = unlead(tq)
 
